@@ -1,24 +1,74 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.pipeline.{PageGen, TripleEmit}
+
+/** Driver-run benchmark: times every SparkEntry query on the sf dir plus
+  * the KG-construction pipeline throughput, printing ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // KG pipeline throughput: pages -> extract -> expand -> toRDF -> dedup
+    val partitions = cpus.toInt * 4
+    val (nTriples, kgSec) = time {
+      TripleEmit.pipeline(PageGen.pages(spark, nPages, 42L, partitions)).count()
+    }
+    val triplesPerSec = nTriples / math.max(kgSec, 1e-9)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + kgSec
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg":{"pages":$nPages,"triples":$nTriples,"seconds":$kgSec%.3f,"triples_per_sec":$triplesPerSec%.1f,"cores":$cpus}}""")
+    spark.stop()
+  }
+}
+
+/** Scaling-evidence run (BASELINE.md protocol): same seeded input, one
+  * parallelism level per invocation; run at local[8] then local[32] and
+  * compute E = (tps32/tps8)/4. */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 8
+    val nPages = if (args.length > 1) args(1).toLong else 60000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // fixed partition count across runs: the INPUT is identical; only the
+    // executor-thread count varies (the sandbox stand-in for N vs 4N executors)
+    val partitions = 128
+    // warmup (JIT + codegen caches)
+    TripleEmit.pipeline(PageGen.pages(spark, 2000, 7L, 16)).count()
+    val t0 = System.nanoTime()
+    val n = TripleEmit.pipeline(PageGen.pages(spark, nPages, 42L, partitions)).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"bench":"scaling","cores":$cores,"pages":$nPages,"partitions":$partitions,"triples":$n,"seconds":$sec%.3f,"triples_per_sec":${n / sec}%.1f}""")
     spark.stop()
   }
 }

