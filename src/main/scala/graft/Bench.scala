@@ -53,16 +53,21 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val nPages = if (args.length > 1) args(1).toLong else 60000L
+    val partitionsArg = if (args.length > 2) args(2).toInt else 128
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // shuffle partitions FIXED across both runs and sized so each final
+      // dedup hash-agg task holds a bounded slice (shuffle.partitions ==
+      // cores would put the whole distinct set in memory at once — the
+      // exact spill trap the 100TB sizing guidance warns about)
+      .config("spark.sql.shuffle.partitions", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixed partition count across runs: the INPUT is identical; only the
     // executor-thread count varies (the sandbox stand-in for N vs 4N executors)
-    val partitions = 128
+    val partitions = partitionsArg
     // warmup (JIT + codegen caches)
     TripleEmit.pipeline(PageGen.pages(spark, 2000, 7L, 16)).count()
     val t0 = System.nanoTime()

@@ -151,15 +151,25 @@ object JsonLdProcessor {
     rval
   }
 
+  /** Pluggable RDF parser registry (Core/JsonLdProcessor.cs:284-315, S5):
+    * format string -> serialized-input parser. N-Quads registered by
+    * default; users add formats with registerRdfParser. */
+  private val rdfParsers =
+    scala.collection.concurrent.TrieMap[String, String => RdfDataset](
+      "application/nquads" -> (s => NQuads.parseNQuads(s)))
+
+  def registerRdfParser(format: String, parser: String => RdfDataset): Unit =
+    rdfParsers.put(format, parser)
+
+  def removeRdfParser(format: String): Unit = rdfParsers.remove(format)
+
   /** Core/JsonLdProcessor.cs:326-395. */
   def fromRDF(dataset: JV, options: JsonLdOptions): JV = {
     if (options.format == null && dataset.isInstanceOf[JStr])
       options.format = "application/nquads"
-    options.format match {
-      case "application/nquads" =>
-        val parsed = NQuads.parseNQuads(asString(dataset))
-        fromRDFDataset(parsed, options)
-      case f => throw new JsonLdError(JsonLdError.UnknownFormat, f)
+    rdfParsers.get(options.format) match {
+      case Some(parser) => fromRDFDataset(parser(asString(dataset)), options)
+      case None         => throw new JsonLdError(JsonLdError.UnknownFormat, options.format)
     }
   }
 

@@ -93,7 +93,33 @@ object TripleEmit {
   def dedup(ts: Dataset[Triple]): Dataset[Triple] =
     ts.dropDuplicates("subj", "pred", "objKind", "objValue", "objDatatype", "objLang", "graph")
 
-  /** End-to-end: pages → extracted docs → deduplicated triples. */
+  /** End-to-end: pages → extracted docs → deduplicated triples.
+    *
+    * Extraction and triple emission are fused into ONE typed flatMap so a
+    * page is decoded from Tungsten format exactly once — chaining separate
+    * typed transforms would pay an encoder round-trip (serialize +
+    * deserialize of the ~2KB html rows) at every boundary. The only
+    * shuffle left is the dedup hash-aggregate. */
   def pipeline(pages: Dataset[Page], normalizeBNodes: Boolean = false): Dataset[Triple] =
-    dedup(triples(Extract.extract(pages), normalizeBNodes))
+    dedup(triplesFused(pages, normalizeBNodes))
+
+  /** The fused narrow stage without the dedup shuffle. */
+  def triplesFused(pages: Dataset[Page], normalizeBNodes: Boolean = false): Dataset[Triple] = {
+    import pages.sparkSession.implicits._
+    val ts = pages.flatMap { page =>
+      val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
+      val blocks = Extract.scriptBlocksTolerant(html)
+      val micro = Extract.microdataBlocks(html)
+      val docs =
+        blocks.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, i, p, "jsonld") } ++
+          micro.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, blocks.size + i, p, "microdata") }
+      docs.flatMap { doc =>
+        docToTriples(doc, normalizeBNodes, null) match {
+          case Right(t) => t
+          case Left(_)  => Vector.empty[Triple]
+        }
+      }
+    }
+    ts
+  }
 }
