@@ -31,12 +31,26 @@ object Bench {
     }
     val triplesPerSec = nTriples / math.max(kgSec, 1e-9)
 
+    // per-query guard mirroring Verify: one runaway query must not zero
+    // the round's bench output (round 1: BENCH_r01.json was rc=124)
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong * 1000L
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time {
+      val t0 = System.nanoTime()
+      val worker = new Thread(() => {
+        spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
         try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+        catch { case _: Throwable => () }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutMs)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(s"bench-$name")
+        worker.join(30000)
+        System.err.println(s"[bench] $name timed out")
       }
-      name -> sec
+      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + kgSec

@@ -41,17 +41,30 @@ object KgRun {
       return
     }
 
-    // observe() metrics ride the action for free (no extra pass)
+    // ONE pass over the pending pages produces both triples and
+    // quarantine rows (round 1 re-ran extract+expand for quarantine —
+    // doubling the job at scale). persist() lets the two sinks share the
+    // computation; disk-spillable so a 100 TB run degrades, not dies.
     val pendingPages = pending.drop("partition_key").as[Page]
-    val triples = TripleEmit.pipeline(pendingPages)
-      .observe("kg_metrics", count(lit(1)).as("triples_out"))
-    Lineage.writeWithLineage(spark, triples.toDF(), pending, triplesPath, manifestPath)
+    val emitted = TripleEmit.emitKeyed(pendingPages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val triplesKeyed = emitted.filter(col("kind") === 0)
+      .select(col("subj"), col("pred"), col("objKind"), col("objValue"),
+        col("objDatatype"), col("objLang"), col("graph"), col("partition_key"))
+      // dedup within the lineage partition (keys are host-derived, so a
+      // given page's triples always land in the same partition; global
+      // cross-host dedup is a downstream compaction)
+      .dropDuplicates()
+    Lineage.writeWithLineage(spark, triplesKeyed, pending, triplesPath, manifestPath)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    emitted.filter(col("kind") === 1)
+      .select(col("url"), col("block_idx"), col("errorCode"), col("errorDetail"),
+        col("partition_key"))
+      .write.mode(SaveMode.Overwrite).partitionBy("partition_key").parquet(quarantinePath)
+    emitted.unpersist()
 
-    // quarantine + adjacency from the written table (scan, no recompute)
-    TripleEmit.quarantine(Extract.extract(pendingPages))
-      .write.mode(SaveMode.Append).parquet(quarantinePath)
     val written = spark.read.parquet(triplesPath)
-    GraphMaterialize.adjacency(written.as[Triple])
+    GraphMaterialize.adjacency(written.drop("partition_key").as[Triple])
       .write.mode(SaveMode.Overwrite).parquet(adjacencyPath)
 
     val nTriples = written.count()

@@ -15,6 +15,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic 64-dim ANN query vector. Values are exact binary
+    * fractions ({-0.75..0.75} step 0.25) so the float→double path here and
+    * the decimal literals in the DuckDB oracle denote identical doubles. */
+  private[graft] val annQuery: Array[Float] =
+    Array.tabulate(64)(i => ((i % 7) - 3) / 4.0f)
+
+  private def annQuerySqlLiteral: String =
+    annQuery.map(v => f"${v.toDouble}%.2f").mkString("[", ", ", "]::DOUBLE[]")
+
   /** Flagship: full KG-construction spine on a synthetic page table —
     * extract → expand → toRDF → dedup → triples. */
   def entry(spark: SparkSession): DataFrame = {
@@ -120,32 +129,32 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
-    // ---- dedup / similarity (LSH families; rows-only check) ----
+    // ---- dedup / similarity (LSH families) ----
+    // Signature work happens in ONE typed mapPartitions per table scan
+    // (tokenize once, loop seeds in Scala) — round 1's unrolled HOF
+    // Columns took 0.3 s/row and timed out the whole round's gates.
     "q_minhash_neardups" -> ((s, dir) =>
-      DedupOps.minhashNearDups(t(s, dir, "documents"), k = 16, bands = 4, threshold = 0.5)
+      DedupOps.minhashNearDups(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.5)
+        .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
     "q_simhash_neardups" -> ((s, dir) =>
-      DedupOps.simhashNearDups(t(s, dir, "documents")).orderBy(col("a"), col("b"))),
-    "q_jaccard_verify" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cands = DedupOps.minhashNearDups(docs, k = 16, bands = 4, threshold = 0.3)
-        .select(col("a"), col("b"))
-      DedupOps.ngramJaccardVerify(docs, cands)
+      DedupOps.simhashNearDups(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("a"), col("b"))),
+    "q_jaccard_verify" -> ((s, dir) =>
+      DedupOps.verifiedNearDups(t(s, dir, "documents"), jaccardThreshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))
-        .orderBy(col("a"), col("b"))
-    }),
-    "q_ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      VectorOps.topKCosine(emb, Array.tabulate(8)(i => (i + 1).toFloat / 8f), 20)
-        .select(col("vec_id"), col("label"))
-    }),
-    "q_ann_bucketed" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      VectorOps.annBucketed(emb, Array.tabulate(8)(i => (i + 1).toFloat / 8f), dim = 8, k = 20)
-        .select(col("vec_id"), col("label"))
-    }),
+        .orderBy(col("a"), col("b"))),
+    "q_ann_topk" -> ((s, dir) =>
+      // 64-dim deterministic query (exact binary fractions, so the DuckDB
+      // oracle literal is bit-identical); round 1 passed dim-8 queries
+      // against 64-dim data and null-padded every cosine
+      VectorOps.topKCosine(t(s, dir, "embeddings"), annQuery, 20)
+        .select(col("vec_id"), col("label"))),
+    "q_ann_bucketed" -> ((s, dir) =>
+      VectorOps.annBucketed(t(s, dir, "embeddings"), annQuery, k = 20)
+        .select(col("vec_id"), col("label"))),
     "q_cosine_neardups" -> ((s, dir) =>
-      VectorOps.cosineNearDups(t(s, dir, "embeddings"), dim = 8, threshold = 0.97)
+      VectorOps.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.97)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("a"), col("b"))),
 
@@ -240,6 +249,50 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_emb_stats" ->
       """SELECT label, count(*) AS n, min(len(embedding)) AS dim
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // ---- dedup / similarity oracles ----
+    // Exact word-3-gram-shingle Jaccard, computed independently in SQL.
+    // The LSH path (k=64, 16 bands of 4 rows) has miss probability
+    // ~(1-J^4)^16 ≈ 3e-8 at J=0.9, and the corpus' pair-Jaccard
+    // distribution is cleanly separated (nothing between ~0.3 and 0.9),
+    // so LSH+threshold and the exact-SQL answer coincide.
+    "q_minhash_neardups" ->
+      (shingleJaccardCte +
+        """SELECT a, b FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin),
+    "q_jaccard_verify" ->
+      (shingleJaccardCte +
+        """SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin),
+    "q_ann_topk" ->
+      s"""SELECT vec_id, label FROM embeddings
+         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annQuerySqlLiteral) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "q_cosine_neardups" ->
+      """SELECT a, b, round(c, 4) AS cos FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS c
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+        |WHERE c >= 0.97 ORDER BY a, b""".stripMargin
   )
+
+  /** Shared CTE: per-doc distinct word-3-gram shingle sets and all-pairs
+    * exact Jaccard. Tokenization mirrors TextHash.tokenHashes (runs of
+    * letters/digits, lowercased; the corpus is ASCII). */
+  private def shingleJaccardCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE
+      |      WHEN len(w) >= 3 THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+      |      WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+      |      ELSE [] END) AS sh
+      |  FROM t),
+      |p AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |    len(list_intersect(x.sh, y.sh))::DOUBLE
+      |      / greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1) AS j
+      |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+      |""".stripMargin
 }

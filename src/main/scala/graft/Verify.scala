@@ -15,11 +15,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query wall-clock guard: one runaway query must never zero the
+    // whole round's correctness file again (round 1: q_minhash_neardups
+    // alone consumed the driver's entire budget → CORRECTNESS_r01 = {}).
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong * 1000L
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val worker = new Thread(() => {
+        spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup()
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      val t0 = System.nanoTime()
+      worker.start()
+      worker.join(timeoutMs)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name TIMED OUT after ${timeoutMs / 1000}s — cancelling")
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        worker.join(30000)
+      } else {
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -98,7 +98,14 @@ object Json {
   /** Parse JSON text preserving object key order. Numbers follow the
     * reference's Newtonsoft behavior: a token containing '.', 'e' or 'E'
     * is a double (JTokenType.Float), otherwise a long (JTokenType.Integer). */
-  def parse(text: String): JV = new Parser(text).parseDocument()
+  /** Strip a single leading U+FEFF (UTF-8 BOM): the reference reads files
+    * through .NET text readers, which consume the BOM implicitly, so
+    * BOM-prefixed fixtures (e.g. ExtendedFunctionality/Sorting/fromRdf-in
+    * .json) parse fine there. */
+  def parse(text: String): JV = {
+    val t = if (text.nonEmpty && text.charAt(0) == '﻿') text.substring(1) else text
+    new Parser(t).parseDocument()
+  }
 
   private final class Parser(s: String) {
     private var i = 0

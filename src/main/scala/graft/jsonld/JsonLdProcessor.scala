@@ -156,7 +156,9 @@ object JsonLdProcessor {
     * default; users add formats with registerRdfParser. */
   private val rdfParsers =
     scala.collection.concurrent.TrieMap[String, String => RdfDataset](
-      "application/nquads" -> (s => NQuads.parseNQuads(s)))
+      "application/nquads" -> (s => NQuads.parseNQuads(s)),
+      // Core/JsonLdProcessor.cs:291 registers TurtleRDFParser by default
+      "text/turtle" -> (s => Turtle.parse(s)))
 
   def registerRdfParser(format: String, parser: String => RdfDataset): Unit =
     rdfParsers.put(format, parser)
@@ -189,8 +191,21 @@ object JsonLdProcessor {
     val expandedInput = expand(input, options)
     val api = new JsonLdApi(expandedInput, options)
     val dataset = api.toRDF()
+    // harvest namespaces from the input's @context for Turtle output
+    // (Core/JsonLdProcessor.cs:413-433)
+    if (options.useNamespaces) {
+      val docs: Seq[JV] = input match {
+        case arr: JArr => arr.items.toSeq
+        case other     => Seq(other)
+      }
+      docs.foreach {
+        case obj: JObj if obj.containsKey("@context") => dataset.parseContext(obj("@context"))
+        case _                                        =>
+      }
+    }
     if (options.format != null) {
       if ("application/nquads" == options.format) Left(NQuads.toNQuads(dataset))
+      else if ("text/turtle" == options.format) Left(Turtle.toTurtle(dataset))
       else throw new JsonLdError(JsonLdError.UnknownFormat, options.format)
     } else Right(dataset)
   }

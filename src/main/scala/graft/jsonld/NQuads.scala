@@ -162,7 +162,11 @@ object NQuads {
 
   def parseNQuads(input: String): RdfDataset = {
     val dataset = new RdfDataset
-    val lines = Eoln.split(input, -1)
+    // Strip a single leading U+FEFF: .NET stream readers (which the
+    // reference uses to load .nq fixtures like NQuads/rdf11blanknodes.nq)
+    // consume a UTF-8 BOM implicitly.
+    val src = if (input.nonEmpty && input.charAt(0) == '﻿') input.substring(1) else input
+    val lines = Eoln.split(src, -1)
     var lineNumber = 0
     lines.foreach { line =>
       lineNumber += 1

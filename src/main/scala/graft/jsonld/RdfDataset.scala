@@ -135,6 +135,44 @@ final class RdfDataset {
   val graphs: mutable.LinkedHashMap[String, ArrayBuffer[RdfQuad]] =
     mutable.LinkedHashMap("@default" -> new ArrayBuffer[RdfQuad])
 
+  /** Namespace map for Turtle in/output (Core/RDFDataset.cs:410,427-460):
+    * prefix name -> IRI. */
+  private val context = mutable.LinkedHashMap.empty[String, String]
+
+  def setNamespace(ns: String, iri: String): Unit = context.put(ns, iri)
+  def getNamespace(ns: String): String = context.getOrElse(ns, null)
+  def clearNamespaces(): Unit = context.clear()
+  def getNamespaces: mutable.LinkedHashMap[String, String] = context
+
+  /** Harvest namespaces from a JSON-LD @context object
+    * (Core/RDFDataset.cs:462-517). */
+  def parseContext(ctx: JV): Unit = ctx match {
+    case obj: JObj =>
+      obj.keys.foreach { key =>
+        val value = obj(key)
+        if ("@vocab" == key) {
+          value match {
+            case JStr(s) => setNamespace("", s)
+            case JNull   => setNamespace("", null)
+            case _       =>
+          }
+        } else if ("@context" == key) {
+          parseContext(value)
+        } else if (!JsonLdUtils.isKeyword(key)) {
+          value match {
+            case JStr(s) => setNamespace(key, s)
+            case o: JObj if o.containsKey("@id") =>
+              o("@id") match {
+                case JStr(s) => setNamespace(key, s)
+                case _       =>
+              }
+            case _ =>
+          }
+        }
+      }
+    case _ =>
+  }
+
   def graphNames: Vector[String] = graphs.keys.toVector
   def getQuads(graphName: String): ArrayBuffer[RdfQuad] =
     graphs.getOrElse(graphName, new ArrayBuffer[RdfQuad])
@@ -143,6 +181,18 @@ final class RdfDataset {
     val g = if (graph == null) "@default" else graph
     graphs.getOrElseUpdate(g, new ArrayBuffer[RdfQuad]) += RdfQuad(s, p, o, g)
   }
+
+  /** Core/RDFDataset.cs:562-565 — IRI-or-bnode object triple. */
+  def addTriple(s: String, p: String, o: String): Unit = {
+    val node: RdfNode = if (o.startsWith("_:")) new RdfBlank(o) else new RdfIri(o)
+    addQuad(s, p, node, "@default")
+  }
+
+  /** Core/RDFDataset.cs:520-524 — literal object triple (null datatype
+    * defaults to xsd:string inside RdfLiteral). */
+  def addTriple(s: String, p: String, value: String, datatype: String,
+                language: String): Unit =
+    addQuad(s, p, new RdfLiteral(value, datatype, language), "@default")
 
   /** Emit quads for one node-map graph (Core/RDFDataset.cs:594-711).
     * Properties iterated in sorted order — this pins bnode-list numbering. */

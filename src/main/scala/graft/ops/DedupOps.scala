@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for web-scale corpora. Design points for
-  * 100 TB: all variants shuffle 8-byte signatures or small signature
-  * arrays, never document bodies; candidate generation is banded (LSH)
-  * so the join is equi-join-able and AQE-skew-splittable; exact pair
-  * verification happens only within buckets.
+  * 100 TB: signatures are computed in ONE narrow typed pass per document
+  * (tokenize once, loop the k seeds in plain Scala — see TextHash for the
+  * round-1 lesson on why this must not be k unrolled HOF Columns); all
+  * shuffles carry 8-byte keys or small signature arrays, never document
+  * bodies; candidate generation is banded (LSH) so the join is an
+  * equi-join — sort-merge/AQE-skew-splittable; exact verification touches
+  * only candidate pairs.
   */
 object DedupOps {
 
@@ -29,48 +32,69 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
 
+  // ---------------- document sketches (one narrow pass) ----------------
+
+  /** Per-document sketch: k-minhash signature over word 3-gram shingles,
+    * per-band LSH bucket ids, and a 64-bit simhash — all from ONE typed
+    * mapPartitions that tokenizes each document exactly once. Output is
+    * doc_id + small fixed-size arrays: the only thing later shuffles carry.
+    */
+  def sketches(documents: DataFrame, k: Int = 64, bands: Int = 16,
+               shingleWidth: Int = 3): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val th = TextHash.tokenHashes(if (text == null) "" else text)
+          val sh = TextHash.shingleHashes(th, shingleWidth)
+          val sig = TextHash.minhash(sh, k)
+          val bandBuckets = Array.tabulate(bands) { b =>
+            var h = 0x517CC1B727220A95L
+            var r = 0
+            while (r < rows) { h = TextHash.mix64(h ^ sig(b * rows + r)); r += 1 }
+            h
+          }
+          (id, sig, bandBuckets, TextHash.simhash64(th))
+        }
+      }.toDF("doc_id", "sig", "band_buckets", "simhash")
+  }
+
+  /** Per-document distinct shingle-hash sets (for exact verification of
+    * LSH candidates; at scale, semi-join `documents` to the candidate ids
+    * first so only candidate docs pay this pass). */
+  def shingleSets(documents: DataFrame, shingleWidth: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val th = TextHash.tokenHashes(if (text == null) "" else text)
+          (id, TextHash.shingleHashes(th, shingleWidth))
+        }
+      }.toDF("doc_id", "shingles")
+  }
+
   // ---------------- MinHash + LSH ----------------
 
-  /** Word 3-gram shingles → k minhashes, as a Column pipeline:
-    * shingles via sliding window over the token array, each hashed with
-    * `xxhash64(shingle, seed_i)`, min-aggregated with array intrinsics
-    * (aggregate over codegen'd expressions — no UDF). */
-  def minhashSignature(text: Column, k: Int): Column = {
-    val tokens = split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
-    // shingles: transform over index range, concat_ws of 3 consecutive tokens
-    val n = greatest(size(tokens) - 2, lit(1))
-    val shingles = transform(sequence(lit(0), n - 1),
-      i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3)))
-    val sig = (0 until k).map { seed =>
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, lit(seed))))
-    }
-    array(sig: _*)
-  }
+  /** LSH bucket rows: (doc_id, sig, band, bucket) — the equi-join key
+    * space for candidate generation. */
+  def lshBuckets(documents: DataFrame, k: Int = 64, bands: Int = 16): DataFrame =
+    sketches(documents, k, bands)
+      .select(col("doc_id"), col("sig"),
+        posexplode(col("band_buckets")).as(Seq("band", "bucket")))
 
-  /** LSH banding: k minhashes split into `bands` bands of `rowsPerBand`;
-    * each band hashed to a bucket id. Near-dup candidates = docs sharing
-    * any (band, bucket). */
-  def lshBuckets(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = k / bands
-    val withSig = documents.withColumn("sig", minhashSignature(col("text"), k))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
-          .as("bucket"))
-    }
-    withSig
-      .withColumn("bands", array(bandCols: _*))
-      .select(col("doc_id"), col("sig"), explode(col("bands")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-  }
-
-  /** MinHash-LSH near-dup pairs: self-join on (band,bucket) — an
-    * equi-join, so sort-merge/AQE applies; estimated Jaccard from
-    * signature agreement; verified pairs only within buckets. */
-  def minhashNearDups(documents: DataFrame, k: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.6): DataFrame = {
+  /** MinHash-LSH near-dup candidate pairs with the signature-estimated
+    * Jaccard: self-join on (band, bucket) — an equi-join, so
+    * sort-merge/AQE applies — then estimate agreement over the k
+    * materialized signature entries (small arrays; zip_with over a
+    * materialized column is cheap, unlike round 1's recompute-per-seed). */
+  def minhashNearDups(documents: DataFrame, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
     val buckets = lshBuckets(documents, k, bands)
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
@@ -84,55 +108,59 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard_est"))
   }
 
-  // ---------------- SimHash ----------------
-
-  /** 64-bit SimHash over word tokens: per-token hash votes per bit.
-    * Implemented as a Column pipeline: for each bit, sum +1/-1 over
-    * tokens, then assemble the sign bits. */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val tokens = split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
-    val bitCols = (0 until bits).map { b =>
-      val vote = aggregate(tokens, lit(0L),
-        (acc, t) => acc + when((shiftright(xxhash64(t), b) % 2) =!= 0, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+  /** LSH candidates (no estimate filter): all (a, b) pairs sharing any
+    * band bucket. Input to exact verification. */
+  def minhashCandidates(documents: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val buckets = lshBuckets(documents, k, bands).select(col("band"), col("bucket"), col("doc_id"))
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
   }
 
-  /** SimHash near-dups: docs whose simhash matches on 3 of 4 byte-bands
-    * (approximate hamming ≤ small). Bands are equi-join keys. */
-  def simhashNearDups(documents: DataFrame, bits: Int = 16): DataFrame = {
-    val sh = documents.select(col("doc_id"), simhash(col("text"), bits).as("sh"))
-    val bandWidth = bits / 4
-    val banded = sh.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * bandWidth).bitwiseAND(lit((1L << bandWidth) - 1)).as("key"))): _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.key"))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("sh").as("sha"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("sh").as("shb"))
-    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
-      .withColumn("hamming", bitCount(col("sha").bitwiseXOR(col("shb"))))
-      .filter(col("hamming") <= bits / 4)
-      .select(col("a"), col("b"), col("hamming"))
-  }
-
-  private def bitCount(c: Column): Column = bit_count(c)
-
-  // ---------------- character n-gram Jaccard ----------------
-
-  /** Exact token-set Jaccard between candidate pairs produced by LSH
-    * (never all-pairs — the candidate set bounds the join). */
-  def ngramJaccardVerify(documents: DataFrame, candidates: DataFrame): DataFrame = {
-    val sets = documents.select(col("doc_id"),
-      array_distinct(split(lower(col("text")), "\\s+")).as("toks"))
-    val a = sets.select(col("doc_id").as("a"), col("toks").as("ta"))
-    val b = sets.select(col("doc_id").as("b"), col("toks").as("tb"))
+  /** Exact shingle-set Jaccard for candidate pairs (never all-pairs — the
+    * LSH candidate set bounds the join). Jaccard is computed on 64-bit
+    * shingle hashes with codegen'd array intrinsics; hash collisions are
+    * negligible at 64 bits. */
+  def ngramJaccardVerify(documents: DataFrame, candidates: DataFrame,
+                         shingleWidth: Int = 3): DataFrame = {
+    val sets = shingleSets(documents, shingleWidth)
+    val a = sets.select(col("doc_id").as("a"), col("shingles").as("ta"))
+    val b = sets.select(col("doc_id").as("b"), col("shingles").as("tb"))
     candidates.join(a, "a").join(b, "b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
       .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("double"))
       .withColumn("jaccard", col("inter") / greatest(col("uni"), lit(1.0)))
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** End-to-end verified near-dups: LSH candidates -> exact Jaccard >=
+    * threshold. With k=64/bands=16 (4 rows per band), recall at J=0.9 is
+    * 1-(1-0.9^4)^16 ≈ 1-3e-8 — effectively exact on well-separated
+    * corpora, at candidate-join cost. */
+  def verifiedNearDups(documents: DataFrame, jaccardThreshold: Double = 0.5,
+                       k: Int = 64, bands: Int = 16): DataFrame =
+    ngramJaccardVerify(documents, minhashCandidates(documents, k, bands))
+      .filter(col("jaccard") >= jaccardThreshold)
+
+  // ---------------- SimHash ----------------
+
+  /** SimHash near-dups: 64-bit simhash, banded into 4×16-bit keys; docs
+    * sharing any band key are candidates (guaranteed to include every
+    * pair with hamming <= 3 by pigeonhole), then filtered on true hamming.
+    * 16-bit band keys keep bucket cardinality ~2^16 — round 1's 4-bit
+    * bands (16 distinct keys) made this join near-cartesian. */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = sketches(documents).select(col("doc_id"), col("simhash").as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("sh").as("sha"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("sh").as("shb"))
+    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
   }
 }

@@ -5,9 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings(vec_id, embedding: array<float>,
   * label)` table. Baseline: brute-force cosine top-k with codegen'd array
-  * intrinsics (zip_with/aggregate — no UDF). Scale path: LSH bucketing by
-  * random-hyperplane signs, so candidate generation is an equi-join on a
-  * small bucket key and only in-bucket pairs pay the full dot product.
+  * intrinsics over materialized columns. Scale path: random-hyperplane
+  * LSH — signatures computed in one narrow typed pass (like
+  * DedupOps.sketches; round 1's per-plane HOF Columns re-evaluated the
+  * cast/transform subtree per plane), banded so candidate generation is
+  * an equi-join on small (band, key) pairs, multi-probe on the query side
+  * so ANN recall does not collapse to a single bucket.
+  *
+  * Dimensionality is taken from each row's own array — round 1 hard-coded
+  * dim=8 against 64-dim data and null-padded every cosine.
   */
 object VectorOps {
 
@@ -20,64 +26,105 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Brute-force cosine top-k against one query vector. The query is a
-    * literal array (driver-side constant folded into codegen) — on a real
-    * cluster a batch of queries becomes a broadcast join instead. */
+  /** Brute-force cosine top-k against one query vector. The query must
+    * have the same length as the stored embeddings (asserted per row —
+    * a length mismatch is a wiring bug, not data to silently null-pad).
+    * The query is a literal array (constant-folded); on a real cluster a
+    * batch of queries becomes a broadcast join instead. */
   def topKCosine(embeddings: DataFrame, query: Array[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val emb = transform(col("embedding"), x => x.cast("double"))
+    val guarded = when(size(col("embedding")) === lit(query.length), cosine(emb, q))
+      .otherwise(raise_error(concat(lit(s"query dim ${query.length} != embedding dim "),
+        size(col("embedding")).cast("string"))))
     embeddings
-      .select(col("vec_id"), col("label"), cosine(emb, q).as("cos"))
+      .select(col("vec_id"), col("label"), guarded.as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, restricted
-    * to LSH candidates (random-hyperplane signature bands). */
-  def hyperplaneSignature(emb: Column, dim: Int, planes: Int, seed: Long): Column = {
-    // pseudo-random plane p, component j ~ hash(seed,p,j) mapped to [-1,1]
-    val bitCols = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x * ((pmod(xxhash64(lit(seed), lit(p), j), lit(2000)) - 1000).cast("double") / 1000.0)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Deterministic pseudo-random hyperplane coefficient in [-1, 1]. */
+  @inline private def coef(seed: Long, plane: Int, j: Int): Double =
+    TextHash.mix64(seed ^ (plane.toLong << 32) ^ j.toLong).toDouble / Long.MaxValue.toDouble
+
+  /** Sign bits of the projections of `v` onto `planes` hyperplanes,
+    * packed per band: key(b) = bits [b*rows, (b+1)*rows). */
+  def signBandKeys(v: Array[Double], planes: Int, bands: Int, seed: Long): Array[Long] = {
+    val rows = planes / bands
+    val keys = new Array[Long](bands)
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) { acc += v(j) * coef(seed, p, j); j += 1 }
+      if (acc > 0) keys(p / rows) |= (1L << (p % rows))
+      p += 1
     }
-    bitCols.reduce(_ + _)
+    keys
   }
 
-  def cosineNearDups(embeddings: DataFrame, dim: Int, threshold: Double = 0.95,
-                     planes: Int = 12): DataFrame = {
-    val emb = transform(col("embedding"), x => x.cast("double"))
-    val sig = embeddings.select(col("vec_id"), emb.as("e"),
-      hyperplaneSignature(emb, dim, planes, 42L).as("sig"))
-    val a = sig.select(col("sig"), col("vec_id").as("a"), col("e").as("ea"))
-    val b = sig.select(col("sig"), col("vec_id").as("b"), col("e").as("eb"))
-    a.join(b, Seq("sig")).filter(col("a") < col("b"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (normArr(col("ea")) * normArr(col("eb"))))
+  /** One narrow typed pass: (vec_id, label, embedding as double[], band
+    * keys). The band keys are the only join keys later shuffles need. */
+  def sketch(embeddings: DataFrame, planes: Int, bands: Int, seed: Long): DataFrame = {
+    require(planes % bands == 0, s"planes=$planes must be divisible by bands=$bands")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id").cast("long"), col("label").cast("int"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, label, emb) =>
+          val v = new Array[Double](emb.length)
+          var i = 0
+          while (i < emb.length) { v(i) = emb(i).toDouble; i += 1 }
+          (id, label, v, signBandKeys(v, planes, bands, seed))
+        }
+      }.toDF("vec_id", "label", "e", "band_keys")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold: banded
+    * hyperplane LSH candidates (equi-join on (band, key)), then exact
+    * cosine on the candidate pairs only. With planes=96/bands=12 (8-bit
+    * keys), recall at cos >= 0.97 is 1-(1-0.527)^12 ≈ 0.9999 while a
+    * random pair collides in any band with prob ≈ 12 × 2^-8 ≈ 4.7%. */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double = 0.95,
+                     planes: Int = 96, bands: Int = 12, seed: Long = 42L): DataFrame = {
+    val sk = sketch(embeddings, planes, bands, seed)
+      .select(col("vec_id"), col("e"),
+        posexplode(col("band_keys")).as(Seq("band", "key")))
+    val a = sk.select(col("band"), col("key"), col("vec_id").as("a"), col("e").as("ea"))
+    val b = sk.select(col("band"), col("key"), col("vec_id").as("b"), col("e").as("eb"))
+    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
 
-  private def normArr(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
-
-  /** IVF-style bucketed ANN: coarse-quantize by hyperplane signature,
-    * probe the query's bucket only (scale path: bucket key equi-join
-    * replaces the all-pairs scan; recall tunable via planes count). */
-  def annBucketed(embeddings: DataFrame, query: Array[Float], dim: Int, k: Int,
-                  planes: Int = 8): DataFrame = {
+  /** Multi-probe bucketed ANN: candidates = vectors sharing the query's
+    * key in any band, probing the exact key plus every 1-bit flip of it
+    * (rows+1 probes per band), then exact cosine top-k on candidates.
+    * Single-bucket probing (round 1) has unbounded-low recall; multi-probe
+    * over all bands bounds the miss probability at (1-p^rows-...)^bands. */
+  def annBucketed(embeddings: DataFrame, query: Array[Float], k: Int,
+                  planes: Int = 48, bands: Int = 8, seed: Long = 7L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val q = array(query.map(v => lit(v.toDouble)): _*)
-    val emb = transform(col("embedding"), x => x.cast("double"))
-    val bucketed = embeddings.select(col("vec_id"), col("label"), emb.as("e"),
-      hyperplaneSignature(emb, dim, planes, 7L).as("sig"))
-    val qSigRow = Seq(1).toDF("one")
-      .select(hyperplaneSignature(q, dim, planes, 7L).as("qsig"))
-    bucketed.join(broadcast(qSigRow), col("sig") === col("qsig"))
+    val rows = planes / bands
+    val qv = query.map(_.toDouble)
+    val qKeys = signBandKeys(qv, planes, bands, seed)
+    val probes = (0 until bands).flatMap { b =>
+      val base = qKeys(b)
+      (base +: (0 until rows).map(r => base ^ (1L << r))).map(key => (b, key))
+    }
+    val probeDf = probes.toDF("band", "key")
+    val sk = sketch(embeddings, planes, bands, seed)
+      .select(col("vec_id"), col("label"), col("e"),
+        posexplode(col("band_keys")).as(Seq("band", "key")))
+    val q = array(qv.map(lit): _*)
+    sk.join(broadcast(probeDf), Seq("band", "key"))
+      .dropDuplicates("vec_id")
       .select(col("vec_id"), col("label"),
-        (dot(col("e"), q) / (normArr(col("e")) * normArr(q))).as("cos"))
+        (dot(col("e"), q) / (norm(col("e")) * norm(q))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

@@ -10,14 +10,42 @@ import org.apache.spark.sql.functions._
   */
 object GraphMaterialize {
 
-  /** Adjacency table: subj -> array<struct(pred, obj)>. One shuffle on
-    * subj; collect_list is partial-aggregated map-side per group. */
-  def adjacency(triples: Dataset[Triple]): DataFrame =
-    triples
-      .groupBy(col("subj"))
-      .agg(
-        collect_list(struct(col("pred"), col("objValue").as("obj"), col("objKind"))).as("edges"),
-        count(lit(1)).as("degree"))
+  /** Adjacency table: subj -> array<struct(pred, obj)>, degree-capped and
+    * skew-safe. An unbounded `groupBy(subj).agg(collect_list)` puts a hub
+    * entity's entire edge list (10^9 edges at web scale) in one task
+    * (VERDICT.md #7), so:
+    *
+    *  1. cheap degree count per subject (hash agg, bounded state);
+    *  2. subjects over `maxDegree` (a tiny set — broadcastable) get their
+    *     edges deterministically hash-sampled down to ~maxDegree BEFORE
+    *     any list is collected;
+    *  3. two-level aggregation: partial lists per (subj, salt) — each at
+    *     most ~maxDegree/salt edges — then flatten + slice at the final
+    *     level, so no task ever materializes more than maxDegree edges
+    *     for one subject.
+    *
+    * `degree` is the TRUE degree; `truncated` marks capped subjects. */
+  def adjacency(triples: Dataset[Triple], maxDegree: Int = 10000, salt: Int = 16): DataFrame = {
+    val t = triples.toDF()
+    val degrees = t.groupBy(col("subj")).agg(count(lit(1)).as("degree"))
+    val hot = degrees.filter(col("degree") > maxDegree)
+      .select(col("subj"), col("degree").as("hot_degree"))
+    val sampled = t.join(broadcast(hot), Seq("subj"), "left")
+      .filter(col("hot_degree").isNull ||
+        pmod(xxhash64(col("subj"), col("pred"), col("objValue")), col("hot_degree")) < lit(maxDegree.toLong))
+    val partial = sampled
+      .withColumn("salt_b", pmod(xxhash64(col("pred"), col("objValue"), col("objKind")), lit(salt)))
+      .groupBy(col("subj"), col("salt_b"))
+      .agg(collect_list(struct(col("pred"), col("objValue").as("obj"), col("objKind"))).as("pe"),
+        count(lit(1)).as("cnt"))
+    partial.groupBy(col("subj"))
+      .agg(slice(flatten(collect_list(col("pe"))), 1, maxDegree).as("edges"),
+        sum(col("cnt")).as("kept"))
+      .join(broadcast(hot), Seq("subj"), "left")
+      .select(col("subj"), col("edges"),
+        coalesce(col("hot_degree"), col("kept")).as("degree"),
+        col("hot_degree").isNotNull.as("truncated"))
+  }
 
   /** Mention detection: literal objects that look like entity surface
     * forms (names) → (surface, subj, pred). */
@@ -65,11 +93,14 @@ object GraphMaterialize {
       .drop("rn")
   }
 
-  /** Built-in hub-entity dictionary derived from the page generator. */
+  /** Built-in hub-entity dictionary: canonical surface form -> IRI.
+    * Surfaces are the names the corpus actually emits as `s:name`
+    * literals (PageGen.HubSurfaces), so the broadcast link join resolves
+    * real mentions — round 1 derived surfaces from IRI slugs that never
+    * occurred in any document and linked nothing. */
   def hubDictionary(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    PageGen.HubEntities
-      .map(e => (e.substring(e.lastIndexOf('/') + 1).replace('-', ' '), e))
+    PageGen.HubSurfaces.zip(PageGen.HubEntities)
       .toDF("surface", "entity")
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -9,16 +9,36 @@ import java.sql.Timestamp
   * with per-partition lineage + metrics").
   *
   * No Iceberg runtime is available offline (SURVEY.md §7.0), so the seam
-  * is partitioned Parquet + a lineage manifest table written after each
-  * partition batch (write-audit-publish). A real deployment swaps these
-  * two methods for an Iceberg catalog without touching the engine.
+  * is Parquet partitioned by the lineage key with DYNAMIC partition
+  * overwrite — re-running a partition replaces its previous files instead
+  * of appending stale duplicates (round 1 appended; ADVICE.md) — plus a
+  * manifest table published after each data write (write-audit-publish).
+  * A real deployment swaps these methods for an Iceberg catalog without
+  * touching the engine.
   */
 object Lineage {
 
-  /** Stable partition key for a page: its host bucket. Hash-bucketed so
-    * hot hosts don't map 1:1 to output partitions. */
-  def partitionKeyCol = concat(lit("hb="),
-    pmod(hash(regexp_extract(col("url"), "https?://([^/]+)/", 1)), lit(64)))
+  /** Stable lineage partition key for a page url: a hash bucket of its
+    * host (hot hosts do NOT map 1:1 to output partitions). Pure Scala so
+    * the fused flatMap (TripleEmit.emitKeyed) computes the identical key
+    * without a second pass; values are non-numeric ("hb3") so Spark's
+    * partition-column type inference keeps them strings on read-back. */
+  def hostBucket(url: String, buckets: Int = 64): String = {
+    val schemeEnd = url.indexOf("://")
+    val hs = if (schemeEnd >= 0) schemeEnd + 3 else 0
+    val slash = url.indexOf('/', hs)
+    val he = if (slash >= 0) slash else url.length
+    val h = graft.ops.TextHash.mix64(graft.ops.TextHash.fnv1a64(url, hs, he))
+    "hb" + java.lang.Long.remainderUnsigned(h, buckets.toLong)
+  }
+
+  private val hostBucketUdf = udf((url: String) => hostBucket(url))
+
+  /** Column form of [[hostBucket]] for DataFrame-side keying. A UDF is
+    * acceptable here: it runs once per page row on the lineage path, not
+    * in the triple-emission hot loop, and guarantees bit-identical keys
+    * between the DataFrame and typed paths. */
+  def partitionKeyCol: Column = hostBucketUdf(col("url"))
 
   /** Fingerprint of the input slice belonging to a partition key —
     * order-independent (xor of per-row hashes) so it is reproducible
@@ -30,6 +50,8 @@ object Lineage {
 
   def readManifest(spark: SparkSession, manifestPath: String): DataFrame = {
     try spark.read.parquet(manifestPath)
+      .select(col("partition_key").cast("string"), col("input_fingerprint"),
+        col("triple_count"), col("status"), col("updated_at"))
     catch {
       case _: Exception =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -54,18 +76,34 @@ object Lineage {
     keyed.join(broadcast(stillPending.select("partition_key")), Seq("partition_key"), "left_semi")
   }
 
-  /** Write triples partitioned by the page partition key, then publish the
-    * manifest rows (write-audit-publish: manifest only says "done" after
-    * the data write succeeded). */
-  def writeWithLineage(spark: SparkSession, triples: DataFrame, pagesKeyed: DataFrame,
+  /** Write triples partitioned by the lineage key with dynamic partition
+    * overwrite (a re-run REPLACES a partition's files — no stale
+    * duplicates), audit the written files, then publish the manifest rows
+    * with the TRUE written triple count per partition (round 1 recorded
+    * the page count under `triple_count`). `triplesKeyed` must carry a
+    * `partition_key` column (TripleEmit.emitKeyed provides it). */
+  def writeWithLineage(spark: SparkSession, triplesKeyed: DataFrame, pagesKeyed: DataFrame,
                        outPath: String, manifestPath: String): Unit = {
-    triples.write.mode(SaveMode.Append).parquet(outPath)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    triplesKeyed.write.mode(SaveMode.Overwrite)
+      .partitionBy("partition_key").parquet(outPath)
+    // audit: count rows actually written per partition. The key list is
+    // bounded by the bucket count (64), so the isin filter partition-prunes
+    // the audit scan to this run's directories only.
+    val runKeys = pagesKeyed.select(col("partition_key")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val writtenCounts = spark.read.parquet(outPath)
+      .filter(col("partition_key").isin(runKeys: _*))
+      .groupBy(col("partition_key").cast("string").as("partition_key"))
+      .agg(count(lit(1)).as("triple_count"))
     val now = new Timestamp(System.currentTimeMillis())
     val manifest = fingerprint(pagesKeyed, "partition_key")
+      .join(writtenCounts, Seq("partition_key"), "left")
       .select(col("partition_key"), col("input_fingerprint"),
-        col("row_count").as("triple_count"))
+        coalesce(col("triple_count"), lit(0L)).as("triple_count"))
       .withColumn("status", lit("done"))
       .withColumn("updated_at", lit(now))
-    manifest.write.mode(SaveMode.Append).parquet(manifestPath)
+    manifest.write.mode(SaveMode.Overwrite)
+      .partitionBy("partition_key").parquet(manifestPath)
   }
 }

@@ -42,6 +42,26 @@ final case class QuarantineRow(
     errorCode: String,
     errorDetail: String)
 
+/** One fused-pipeline output row: either a triple (kind=0, quarantine
+  * fields null) or a quarantine record (kind=1, triple fields null), both
+  * tagged with the page's lineage partition key — so ONE pass over the
+  * corpus feeds both sinks (round 1 re-ran extract+expand a second time
+  * just to collect quarantine rows; at 100 TB that doubles the job). */
+final case class EmitRow(
+    partition_key: String,
+    kind: Byte, // 0 = triple, 1 = quarantine
+    subj: String,
+    pred: String,
+    objKind: Byte,
+    objValue: String,
+    objDatatype: String,
+    objLang: String,
+    graph: String,
+    url: String,
+    block_idx: Int,
+    errorCode: String,
+    errorDetail: String)
+
 /** Per-partition lineage manifest row for write-audit-publish resume
   * (SURVEY.md §4.3). */
 final case class LineageRow(

@@ -26,6 +26,16 @@ object PageGen {
     "https://hub.example/entity/tyrell",
     "https://hub.example/entity/cyberdyne")
 
+  /** Canonical surface forms of the hub entities, emitted as `s:name`
+    * literals by a subset of pages (kind-3 events name their performer)
+    * so mention-detect + entity-link has real surface-form mentions to
+    * resolve — round 1's corpus only referenced hubs as IRIs, so entity
+    * linking provably linked nothing (VERDICT.md #3). Index-aligned with
+    * [[HubEntities]]. */
+  val HubSurfaces: Vector[String] = Vector(
+    "Acme Corp", "Globex", "Initech", "Umbrella",
+    "Stark Industries", "Wayne Enterprises", "Tyrell", "Cyberdyne")
+
   private val Langs = Vector("en", "de", "fr", "es", "pt", "it", "nl", "ja")
 
   /** SplitMix64 — deterministic per-row RNG stream. */
@@ -54,7 +64,8 @@ object PageGen {
     * blank nodes, reverse properties, named graphs). */
   def payload(seed: Long, i: Long, b: Int): String = {
     val r = mix64(seed ^ (i * 31 + b))
-    val hub = HubEntities(((r >>> 8) % HubEntities.size).toInt.abs)
+    val hubIdx = ((r >>> 8) % HubEntities.size).toInt.abs
+    val hub = HubEntities(hubIdx)
     val kind = ((r >>> 16) % 6).toInt.abs
     val lang = Langs(((r >>> 24) % Langs.size).toInt.abs)
     val n = (r >>> 32) & 0xFFFF
@@ -66,7 +77,7 @@ object PageGen {
       case 2 =>
         s"""{"@context":{"s":"http://schema.org/","tags":{"@id":"s:keywords","@container":"@list"}},"@id":"https://${hostFor(seed, i, 1000)}/article/$n","@type":"s:Article","s:author":{"s:name":"Anon $n"},"tags":["t${n % 7}","t${n % 11}","t${n % 13}"]}"""
       case 3 =>
-        s"""{"@context":{"s":"http://schema.org/"},"@graph":[{"@id":"https://events.example/e$n","@type":"s:Event","s:location":{"@id":"$hub"},"s:startDate":{"@value":"2026-0${(n % 9) + 1}-01T00:00:00Z","@type":"http://www.w3.org/2001/XMLSchema#dateTime"}}]}"""
+        s"""{"@context":{"s":"http://schema.org/"},"@graph":[{"@id":"https://events.example/e$n","@type":"s:Event","s:location":{"@id":"$hub"},"s:performer":{"s:name":"${HubSurfaces(hubIdx)}"},"s:startDate":{"@value":"2026-0${(n % 9) + 1}-01T00:00:00Z","@type":"http://www.w3.org/2001/XMLSchema#dateTime"}}]}"""
       case 4 =>
         s"""{"@context":{"s":"http://schema.org/","parent":{"@reverse":"s:children"}},"@id":"https://people.example/c$n","s:name":"Child $n","parent":{"@id":"https://people.example/p${n % 500}"}}"""
       case _ =>

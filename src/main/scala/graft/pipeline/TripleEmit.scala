@@ -16,9 +16,26 @@ import graft.jsonld._
   */
 object TripleEmit {
 
+  /** 128-bit doc key: two independent 64-bit hashes of the full url (an
+    * FNV-1a stream and a polynomial stream, one pass), each mixed with the
+    * block index. Round 1 keyed on MurmurHash3's 32 bits of url entropy —
+    * a bijective mix64 on top adds none — giving ~1 expected colliding
+    * url pair per 100k urls and silently merged `_:b0` labels at scale
+    * (ADVICE.md). Two independent 64-bit streams ≈ 128-bit collision
+    * resistance. */
   def docKey(url: String, blockIdx: Int): String = {
-    val h = PageGen.mix64(scala.util.hashing.MurmurHash3.stringHash(url).toLong * 131L + blockIdx)
-    java.lang.Long.toUnsignedString(h, 36)
+    var h1 = 0xCBF29CE484222325L // FNV-1a
+    var h2 = 0x6C62272E07BB0142L // independent polynomial stream
+    var i = 0
+    while (i < url.length) {
+      val c = url.charAt(i).toLong
+      h1 = (h1 ^ c) * 0x100000001B3L
+      h2 = h2 * 0x5DEECE66DL + c
+      i += 1
+    }
+    val k1 = graft.ops.TextHash.mix64(h1 ^ (blockIdx.toLong * 0x9E3779B97F4A7C15L))
+    val k2 = graft.ops.TextHash.mix64(h2 + blockIdx)
+    java.lang.Long.toUnsignedString(k1, 36) + "x" + java.lang.Long.toUnsignedString(k2, 36)
   }
 
   private def prefixBnode(value: String, key: String): String =
@@ -121,5 +138,30 @@ object TripleEmit {
       }
     }
     ts
+  }
+
+  /** Single-pass keyed emit for the resumable job: the same fused narrow
+    * stage, but every output row carries the page's lineage partition key
+    * and quarantine rows ride along as kind=1 instead of being recomputed
+    * in a second full pass (VERDICT.md #7 / round-1 KgRun). */
+  def emitKeyed(pages: Dataset[Page], normalizeBNodes: Boolean = false): Dataset[EmitRow] = {
+    import pages.sparkSession.implicits._
+    pages.flatMap { page =>
+      val key = Lineage.hostBucket(page.url)
+      val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
+      val blocks = Extract.scriptBlocksTolerant(html)
+      val micro = Extract.microdataBlocks(html)
+      val docs =
+        blocks.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, i, p, "jsonld") } ++
+          micro.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, blocks.size + i, p, "microdata") }
+      docs.flatMap { doc =>
+        docToTriples(doc, normalizeBNodes, null) match {
+          case Right(ts) => ts.map(t => EmitRow(key, 0, t.subj, t.pred, t.objKind,
+            t.objValue, t.objDatatype, t.objLang, t.graph, null, -1, null, null))
+          case Left(q) => Vector(EmitRow(key, 1, null, null, 0, null, null, null, null,
+            q.url, q.block_idx, q.errorCode, q.errorDetail))
+        }
+      }
+    }
   }
 }

@@ -73,9 +73,40 @@ class OpsSpec extends AnyFunSuite {
       (2L, Array(0.99f, 0.01f, 0f, 0f), 0),
       (3L, Array(0f, 1f, 0f, 0f), 1)
     ).toDF("vec_id", "embedding", "label")
-    val pairs = VectorOps.cosineNearDups(emb, dim = 4, threshold = 0.95, planes = 6)
+    val pairs = VectorOps.cosineNearDups(emb, threshold = 0.95)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("multi-probe bucketed ANN recalls the identical + near vectors") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.95f, 0.05f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f, 0f), 1),
+      (4L, Array(0f, 0f, 1f, 0f), 1),
+      (5L, Array(0f, 0f, 0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.annBucketed(emb, Array(1f, 0f, 0f, 0f), k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L), s"got $got")
+  }
+
+  test("verified near-dups: LSH candidates + exact jaccard, planted dups found") {
+    // 200 distinct tokens -> ~198 distinct shingles; the near-dup differs
+    // in one token -> J ≈ 0.97, where k=64/bands=16 recall is ~1-1e-7
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word100", "replaced")
+    val planted = Seq(
+      (10L, base), (11L, base), (12L, near),
+      (13L, (0 until 200).map(i => s"other$i").mkString(" ")),
+      (14L, (0 until 200).map(i => s"thing$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.verifiedNearDups(planted, jaccardThreshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((10L, 12L)) && pairs.contains((11L, 12L)),
+      s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 >= 13L || p._2 >= 13L), s"false positive: $pairs")
   }
 
   test("text metrics: token count, quality bounds, langid") {

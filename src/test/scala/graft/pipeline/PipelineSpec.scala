@@ -92,24 +92,71 @@ class PipelineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("lineage").toString
     val pages = PageGen.pages(spark, 80, 42L, partitions = 4).toDF()
     val keyed = pages.withColumn("partition_key", Lineage.partitionKeyCol)
-    val triples = TripleEmit.pipeline(PageGen.pages(spark, 80, 42L, partitions = 4)).toDF()
-    Lineage.writeWithLineage(spark, triples, keyed, s"$dir/triples", s"$dir/manifest")
+    val triplesKeyed = TripleEmit.emitKeyed(PageGen.pages(spark, 80, 42L, partitions = 4))
+      .filter(col("kind") === 0)
+      .select(col("subj"), col("pred"), col("objKind"), col("objValue"),
+        col("objDatatype"), col("objLang"), col("graph"), col("partition_key"))
+    Lineage.writeWithLineage(spark, triplesKeyed, keyed, s"$dir/triples", s"$dir/manifest")
     val manifest = Lineage.readManifest(spark, s"$dir/manifest")
     val pending = Lineage.pendingPages(pages, manifest)
     assert(pending.count() == 0, "all partitions should be marked done")
+    // the manifest's triple_count must be the TRUE written triple count
+    // per partition (round 1 recorded the page count under this name)
+    val manifestTotal = manifest.agg(sum(col("triple_count"))).collect()(0).getLong(0)
+    val writtenTotal = spark.read.parquet(s"$dir/triples").count()
+    assert(manifestTotal == writtenTotal,
+      s"manifest says $manifestTotal triples, table has $writtenTotal")
+    // re-running a partition must REPLACE its files, not append duplicates
+    Lineage.writeWithLineage(spark, triplesKeyed, keyed, s"$dir/triples", s"$dir/manifest")
+    assert(spark.read.parquet(s"$dir/triples").count() == writtenTotal,
+      "dynamic partition overwrite must not duplicate rows on re-run")
     // a fresh manifest means everything is pending again
     val pendingAll = Lineage.pendingPages(pages,
       Lineage.readManifest(spark, s"$dir/nonexistent"))
     assert(pendingAll.count() == 80)
   }
 
+  test("typed and column partition keys agree") {
+    import spark.implicits._
+    val urls = PageGen.pages(spark, 50, 42L, partitions = 2).map(_.url).collect()
+    val viaCol = spark.createDataset(urls.toSeq).toDF("url")
+      .withColumn("partition_key", Lineage.partitionKeyCol)
+      .select("url", "partition_key").as[(String, String)].collect().toMap
+    urls.foreach { u =>
+      assert(viaCol(u) == Lineage.hostBucket(u), s"key mismatch for $u")
+    }
+  }
+
+  test("adjacency caps hub subjects and reports true degree") {
+    import spark.implicits._
+    val hub = (0 until 5000).map(i =>
+      Triple("http://hub", s"http://p/${i % 7}", 0, s"http://o/$i", null, null, "@default"))
+    val small = (0 until 10).map(i =>
+      Triple(s"http://s/$i", "http://p", 0, s"http://o/$i", null, null, "@default"))
+    val adj = GraphMaterialize.adjacency((hub ++ small).toDS(), maxDegree = 100, salt = 8)
+      .collect().map(r => r.getAs[String]("subj") ->
+        ((r.getAs[scala.collection.Seq[Any]]("edges").size,
+          r.getAs[Long]("degree"), r.getAs[Boolean]("truncated")))).toMap
+    val (hubEdges, hubDegree, hubTrunc) = adj("http://hub")
+    assert(hubEdges <= 100, s"hub edge list not capped: $hubEdges")
+    assert(hubDegree == 5000L, s"true degree must survive the cap: $hubDegree")
+    assert(hubTrunc, "hub must be flagged truncated")
+    val (sEdges, sDegree, sTrunc) = adj("http://s/3")
+    assert(sEdges == 1 && sDegree == 1L && !sTrunc)
+  }
+
   test("entity linking resolves hub mentions via broadcast dictionary") {
     val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
     val links = GraphMaterialize.linkEntities(
       GraphMaterialize.mentions(triples), GraphMaterialize.hubDictionary(spark))
-    // hub entities appear as brand/location IRIs; surface-form mentions are
-    // org/person names — at minimum the join must execute broadcast and
-    // produce the salt column bounded by the salt count
+    // the corpus emits hub surface forms as s:name literals (kind-3 event
+    // performers), so real links MUST be produced — round 1 only checked
+    // the plan shape and the join linked nothing (VERDICT.md #3)
+    val linked = links.filter(col("entity").isNotNull).count()
+    assert(linked > 0, "no mentions were linked to a hub entity")
+    val distinctHubs = links.filter(col("entity").isNotNull)
+      .select(countDistinct(col("entity"))).collect()(0).getLong(0)
+    assert(distinctHubs >= 4, s"expected several hub entities linked, got $distinctHubs")
     val buckets = links.select(countDistinct(col("salt_bucket"))).collect()(0).getLong(0)
     assert(buckets <= 16)
     val plan = links.queryExecution.executedPlan.toString
