@@ -82,12 +82,19 @@ object ScalingBench {
     // fixed partition count across runs: the INPUT is identical; only the
     // executor-thread count varies (the sandbox stand-in for N vs 4N executors)
     val partitions = partitionsArg
+    val passes = if (args.length > 3) args(3).toInt else 3
     // warmup (JIT + codegen caches)
     TripleEmit.pipeline(PageGen.pages(spark, 2000, 7L, 16)).count()
-    val t0 = System.nanoTime()
-    val n = TripleEmit.pipeline(PageGen.pages(spark, nPages, 42L, partitions)).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"bench":"scaling","cores":$cores,"pages":$nPages,"partitions":$partitions,"triples":$n,"seconds":$sec%.3f,"triples_per_sec":${n / sec}%.1f}""")
+    // Multiple measured passes per JVM: this host's run-to-run noise is
+    // up to 6× on a minutes timescale (BENCH/BASELINE.md note 4), so a
+    // single pass per 15-minute JVM startup wastes the sample budget.
+    // Per-pass JSON lines let the analyst take min/median across passes.
+    (1 to passes).foreach { pass =>
+      val t0 = System.nanoTime()
+      val n = TripleEmit.pipeline(PageGen.pages(spark, nPages, 42L, partitions)).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"bench":"scaling","cores":$cores,"pass":$pass,"pages":$nPages,"partitions":$partitions,"triples":$n,"seconds":$sec%.3f,"triples_per_sec":${n / sec}%.1f}""")
+    }
     spark.stop()
   }
 }

@@ -122,6 +122,11 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    "q_doc_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
     "q_emb_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .groupBy(col("label"))
@@ -250,6 +255,21 @@ object SparkEntry {
     "q_emb_stats" ->
       """SELECT label, count(*) AS n, min(len(embedding)) AS dim
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_doc_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN de >= greatest(en, fr, es) AND de > 0 THEN 'de'
+        |  WHEN fr >= greatest(en, es) AND fr > 0 THEN 'fr'
+        |  WHEN es >= en AND es > 0 THEN 'es'
+        |  WHEN en > 0 THEN 'en'
+        |  ELSE 'unknown' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(text, '(?i)\b(the|and|of|to|is)\b')) - 1 AS en,
+        |    len(regexp_split_to_array(text, '(?i)\b(der|die|und|ist|nicht)\b')) - 1 AS de,
+        |    len(regexp_split_to_array(text, '(?i)\b(le|la|et|est|les)\b')) - 1 AS fr,
+        |    len(regexp_split_to_array(text, '(?i)\b(el|los|es|una|que)\b')) - 1 AS es
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // ---- dedup / similarity oracles ----
     // Exact word-3-gram-shingle Jaccard, computed independently in SQL.

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.pipeline._
+
+/** Structured Streaming skin over the batch KG spine (SURVEY.md §2.4
+  * "Streaming": the north rule requires RESUMABILITY, which the batch
+  * lineage manifest provides; this skin adds continuous/backlog ingestion
+  * with the same per-document core and the same idempotence guarantees).
+  *
+  * Design: `readStream` over a pages directory → the identical fused
+  * extract→expand→toRDF flatMap (TripleEmit.emitKeyed — one narrow stage,
+  * no per-batch recompute) → `foreachBatch` sink that appends triples and
+  * quarantine rows partitioned by the lineage host bucket. Exactly-once
+  * across restarts comes from the checkpointed file-source offsets (a
+  * page file is never replayed into a committed batch twice);
+  * `Trigger.AvailableNow` drains the backlog and stops, which is the
+  * streaming equivalent of the resumable batch run.
+  *
+  * At 100 TB the same topology holds: the file source lists incrementally
+  * (`maxFilesPerTrigger` bounds batch size → bounded executor memory),
+  * the flatMap is embarrassingly parallel, and the only shuffle per batch
+  * is the per-partition dedup inside foreachBatch.
+  */
+object KgStream {
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Start the backlog-draining stream: pages parquet dir → triples +
+    * quarantine parquet dirs, checkpointed. */
+  def run(spark: SparkSession, pagesDir: String, outDir: String,
+          maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(pagesDir)
+      .as[Page]
+
+    val emitted = TripleEmit.emitKeyed(pages).toDF()
+
+    emitted.writeStream
+      .queryName("kg-stream")
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, outDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch: split the tagged rows into the two sinks. Append
+    * mode is safe because the checkpoint guarantees a batch is composed
+    * of never-before-committed input files. */
+  private[streaming] def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    val triples = batch.filter(col("kind") === 0)
+      .select(col("subj"), col("pred"), col("objKind"), col("objValue"),
+        col("objDatatype"), col("objLang"), col("graph"), col("partition_key"))
+      .dropDuplicates()
+    triples.write.mode("append").partitionBy("partition_key")
+      .parquet(s"$outDir/triples")
+    val quarantine = batch.filter(col("kind") === 1)
+      .select(col("url"), col("block_idx"), col("errorCode"), col("errorDetail"),
+        col("partition_key"))
+    quarantine.write.mode("append").partitionBy("partition_key")
+      .parquet(s"$outDir/quarantine")
+  }
+
+  /** Windowed ingest metrics (SURVEY.md §2.4 window row, streaming form):
+    * triples-per-host-bucket per processing-time window with a watermark —
+    * the live-dashboard companion of the per-partition lineage counts. */
+  def metrics(emitted: DataFrame): DataFrame =
+    emitted
+      .withColumn("event_time", current_timestamp())
+      .withWatermark("event_time", "1 minute")
+      .groupBy(window(col("event_time"), "30 seconds"), col("partition_key"))
+      .agg(sum(when(col("kind") === 0, 1).otherwise(0)).as("triples"),
+        sum(when(col("kind") === 1, 1).otherwise(0)).as("quarantined"))
+}
