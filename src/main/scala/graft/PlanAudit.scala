@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit of the headline queries: prints the properties
+  * that matter at 100 TB — scan pushdown (PushedFilters/ReadSchema),
+  * WholeStageCodegen coverage, join strategies (broadcast vs sort-merge),
+  * and the shuffle count — so plan regressions are visible in review,
+  * not just wall-clock. Output is pasted into BENCH/PLANS.md per round.
+  *
+  * Usage: sbt "runMain graft.PlanAudit /root/testdata/sf0.01"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // static plans for the audit: AQE re-plans at runtime (and is ON in
+      // every real run); disabling it here exposes the codegen spans and
+      // join choices Catalyst makes from statistics alone
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val audited = Seq(
+      "q1_agg", "q_join_agg", "q_filter_prune", "q_topk_parts",
+      "q_minhash_neardups", "q_jaccard_verify", "q_simhash_neardups",
+      "q_ann_topk", "q_cosine_neardups", "q_kg_adjacency", "q_kg_entitylink")
+
+    audited.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"\n===== $name =====")
+      summarize(name, plan)
+    }
+    spark.stop()
+  }
+
+  private def summarize(name: String, plan: String): Unit = {
+    val lines = plan.linesIterator.toVector
+    def count(p: String) = lines.count(_.contains(p))
+    // codegen membership renders as a "*(n)" stage prefix in plan strings
+    val codegenStages = lines.flatMap(l => "\\*\\((\\d+)\\)".r.findAllMatchIn(l).map(_.group(1)))
+      .distinct.size
+    println(s"  exchanges(shuffles) = ${count("Exchange")}" +
+      s" | broadcast = ${count("BroadcastExchange")}" +
+      s" | SMJ = ${count("SortMergeJoin")}" +
+      s" | BHJ = ${count("BroadcastHashJoin")}" +
+      s" | codegen stages = $codegenStages")
+    lines.filter(_.contains("FileScan")).take(4).foreach { l =>
+      val cols = "\\[([^\\]]*)\\]".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(l).getOrElse("PushedFilters: n/a")
+      println(s"  scan cols=[$cols] $pushed")
+    }
+  }
+}
