@@ -36,20 +36,7 @@ object Bench {
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong * 1000L
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val worker = new Thread(() => {
-        spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        finally spark.sparkContext.clearJobGroup()
-      }, s"bench-$name")
-      worker.setDaemon(true)
-      worker.start()
-      worker.join(timeoutMs)
-      if (worker.isAlive) {
-        spark.sparkContext.cancelJobGroup(s"bench-$name")
-        worker.join(30000)
-        System.err.println(s"[bench] $name timed out")
-      }
+      QueryGuard.run(spark, name, timeoutMs) { fn(spark, sfDir).count(): Unit }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -133,6 +133,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(size(col("embedding"))).as("dim"))
         .orderBy(col("label"))
     }),
+    "q_emb_norm" -> ((s, dir) => {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), round(VectorOps.norm(emb), 4).as("l2"))
+        .orderBy(col("vec_id"))
+    }),
 
     // ---- dedup / similarity (LSH families) ----
     // Signature work happens in ONE typed mapPartitions per table scan
@@ -255,6 +261,9 @@ object SparkEntry {
     "q_emb_stats" ->
       """SELECT label, count(*) AS n, min(len(embedding)) AS dim
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_emb_norm" ->
+      """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_doc_langid" ->
       """SELECT doc_id, CASE
         |  WHEN de >= greatest(en, fr, es) AND de > 0 THEN 'de'

@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Per-task wall-clock guard: runs `body` on a cancellable worker thread
+  * under a Spark job group; on timeout, cancels the group's jobs (task
+  * interruption enabled) so one runaway query can never consume the whole
+  * budget — round 1's q_minhash_neardups alone zeroed both BENCH and
+  * CORRECTNESS for the round. Returns true iff the body completed. */
+object QueryGuard {
+  def run(spark: SparkSession, name: String, timeoutMs: Long)(body: => Unit): Boolean = {
+    val group = s"guard-$name"
+    val worker = new Thread(() => {
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[guard] $name failed: ${e.getMessage}")
+      } finally spark.sparkContext.clearJobGroup()
+    }, group)
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(timeoutMs)
+    if (worker.isAlive) {
+      System.err.println(s"[guard] $name TIMED OUT after ${timeoutMs / 1000}s — cancelling")
+      spark.sparkContext.cancelJobGroup(group)
+      worker.join(30000)
+      false
+    } else true
+  }
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -15,30 +43,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Per-query wall-clock guard: one runaway query must never zero the
-    // whole round's correctness file again (round 1: q_minhash_neardups
-    // alone consumed the driver's entire budget → CORRECTNESS_r01 = {}).
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong * 1000L
     SparkEntry.queries.foreach { case (name, fn) =>
-      val worker = new Thread(() => {
-        spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        } finally spark.sparkContext.clearJobGroup()
-      }, s"verify-$name")
-      worker.setDaemon(true)
       val t0 = System.nanoTime()
-      worker.start()
-      worker.join(timeoutMs)
-      if (worker.isAlive) {
-        System.err.println(s"[verify] $name TIMED OUT after ${timeoutMs / 1000}s — cancelling")
-        spark.sparkContext.cancelJobGroup(s"verify-$name")
-        worker.join(30000)
-      } else {
-        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val ok = QueryGuard.run(spark, name, timeoutMs) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
+      if (ok)
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
