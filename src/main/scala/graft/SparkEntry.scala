@@ -90,6 +90,12 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_customers"))
         .orderBy(col("bucket"))
     }),
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
     "q_events_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -126,6 +132,19 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
+    }),
+    "q_ngram_topk" -> ((s, dir) => {
+      // corpus n-gram statistics: ONE shingle expression per row (round
+      // 1's lesson: never re-evaluate the tokenize subtree per element)
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val n = greatest(size(toks) - 2, lit(1))
+      val shingles = transform(sequence(lit(0), n - 1),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+      t(s, dir, "documents")
+        .select(explode(shingles).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
     }),
     "q_emb_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -239,6 +258,20 @@ object SparkEntry {
         |  SELECT 'without' AS bucket, c_custkey FROM customer
         |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_ngram_topk" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS ngram
+        |  FROM t)
+        |SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+        |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
     "q_events_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
