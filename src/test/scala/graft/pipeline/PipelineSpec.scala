@@ -145,6 +145,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(sEdges == 1 && sDegree == 1L && !sTrunc)
   }
 
+  test("newest observation keeps the latest warc_ts per (s,p,o)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("http://s", "http://p", "v1", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("http://s", "http://p", "v1", java.sql.Timestamp.valueOf("2026-02-01 00:00:00")),
+      ("http://s", "http://p", "v2", java.sql.Timestamp.valueOf("2026-01-15 00:00:00"))
+    ).toDF("subj", "pred", "objValue", "warc_ts")
+    val out = GraphMaterialize.newestObservation(rows)
+      .select("subj", "pred", "objValue", "warc_ts").collect()
+    assert(out.length == 2)
+    val v1 = out.find(_.getString(2) == "v1").get
+    assert(v1.getTimestamp(3).toString.startsWith("2026-02-01"))
+  }
+
+  test("canonicalizeSubjects rewrites linked subjects and keeps the rest") {
+    import spark.implicits._
+    val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
+    val links = GraphMaterialize.linkEntities(
+      GraphMaterialize.mentions(triples), GraphMaterialize.hubDictionary(spark))
+    val canon = GraphMaterialize.canonicalizeSubjects(triples, links)
+    val rewritten = canon.filter(col("subj_canon") =!= col("subj")).count()
+    assert(rewritten > 0, "some linked subjects must be canonicalized")
+    val total = triples.count()
+    assert(canon.count() == total, "canonicalization must not drop or duplicate triples")
+  }
+
   test("entity linking resolves hub mentions via broadcast dictionary") {
     val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
     val links = GraphMaterialize.linkEntities(
