@@ -24,8 +24,10 @@ object Bench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    // KG pipeline throughput: pages -> extract -> expand -> toRDF -> dedup
+    // KG pipeline throughput: pages -> extract -> expand -> toRDF -> dedup.
+    // Warmup first so the reported tps reflects steady state, not JIT.
     val partitions = cpus.toInt * 4
+    TripleEmit.pipeline(PageGen.pages(spark, 2000, 7L, 16)).count()
     val (nTriples, kgSec) = time {
       TripleEmit.pipeline(PageGen.pages(spark, nPages, 42L, partitions)).count()
     }

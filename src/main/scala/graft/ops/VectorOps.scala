@@ -63,8 +63,10 @@ object VectorOps {
     keys
   }
 
-  /** One narrow typed pass: (vec_id, label, embedding as double[], band
-    * keys). The band keys are the only join keys later shuffles need. */
+  /** One narrow typed pass: (vec_id, label, embedding as double[], L2
+    * norm, band keys). Norms computed once here so the pair join only
+    * pays the dot product; the band keys are the only join keys later
+    * shuffles need. */
   def sketch(embeddings: DataFrame, planes: Int, bands: Int, seed: Long): DataFrame = {
     require(planes % bands == 0, s"planes=$planes must be divisible by bands=$bands")
     val spark = embeddings.sparkSession
@@ -74,11 +76,16 @@ object VectorOps {
       .mapPartitions { it =>
         it.map { case (id, label, emb) =>
           val v = new Array[Double](emb.length)
+          var nrm = 0.0
           var i = 0
-          while (i < emb.length) { v(i) = emb(i).toDouble; i += 1 }
-          (id, label, v, signBandKeys(v, planes, bands, seed))
+          while (i < emb.length) {
+            v(i) = emb(i).toDouble
+            nrm += v(i) * v(i)
+            i += 1
+          }
+          (id, label, v, math.sqrt(nrm), signBandKeys(v, planes, bands, seed))
         }
-      }.toDF("vec_id", "label", "e", "band_keys")
+      }.toDF("vec_id", "label", "e", "nrm", "band_keys")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold: banded
@@ -89,13 +96,13 @@ object VectorOps {
   def cosineNearDups(embeddings: DataFrame, threshold: Double = 0.95,
                      planes: Int = 96, bands: Int = 12, seed: Long = 42L): DataFrame = {
     val sk = sketch(embeddings, planes, bands, seed)
-      .select(col("vec_id"), col("e"),
+      .select(col("vec_id"), col("e"), col("nrm"),
         posexplode(col("band_keys")).as(Seq("band", "key")))
-    val a = sk.select(col("band"), col("key"), col("vec_id").as("a"), col("e").as("ea"))
-    val b = sk.select(col("band"), col("key"), col("vec_id").as("b"), col("e").as("eb"))
+    val a = sk.select(col("band"), col("key"), col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = sk.select(col("band"), col("key"), col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
-      .withColumn("cos", dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
@@ -118,13 +125,14 @@ object VectorOps {
     }
     val probeDf = probes.toDF("band", "key")
     val sk = sketch(embeddings, planes, bands, seed)
-      .select(col("vec_id"), col("label"), col("e"),
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"),
         posexplode(col("band_keys")).as(Seq("band", "key")))
     val q = array(qv.map(lit): _*)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
     sk.join(broadcast(probeDf), Seq("band", "key"))
       .dropDuplicates("vec_id")
       .select(col("vec_id"), col("label"),
-        (dot(col("e"), q) / (norm(col("e")) * norm(q))).as("cos"))
+        (dot(col("e"), q) / (col("nrm") * lit(qNorm))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
