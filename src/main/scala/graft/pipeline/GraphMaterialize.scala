@@ -93,6 +93,49 @@ object GraphMaterialize {
       .drop("rn")
   }
 
+  /** Corpus-level flatten (SURVEY.md §2.2 C13 corpus analogue: "corpus-
+    * level flatten = groupByKey(id).mapGroups + orderBy(id)"): merge every
+    * subject's triples across all documents into one flattened JSON-LD
+    * node object, emitted as a canonical JSON string. Deterministic:
+    * properties sorted, values sorted by (kind, value, datatype, lang),
+    * duplicates suppressed — the distributed equivalent of the per-doc
+    * node map's sorted-key merge (Core/JsonLdApi.cs:1058-1312). One
+    * shuffle on subj; each group is one node (bounded by the adjacency
+    * degree cap argument — pair with a degree filter for hub subjects). */
+  def flattenNodes(triples: Dataset[Triple]): DataFrame = {
+    import triples.sparkSession.implicits._
+    triples
+      .filter(_.graph == "@default")
+      .groupByKey(_.subj)
+      .mapGroups { (subj, ts) =>
+        import graft.jsonld._
+        val byPred = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.TreeSet[(Byte, String, String, String)]]
+        ts.foreach { t =>
+          byPred.getOrElseUpdate(t.pred, scala.collection.mutable.TreeSet.empty)
+            .add((t.objKind, t.objValue,
+              Option(t.objDatatype).getOrElse(""), Option(t.objLang).getOrElse("")))
+        }
+        val node = new JObj
+        node.put("@id", JStr(subj))
+        byPred.keys.toVector.sorted.foreach { pred =>
+          val arr = new JArr
+          byPred(pred).foreach { case (kind, value, dt, lang) =>
+            val o = new JObj
+            if (kind == 2) {
+              o.put("@value", JStr(value))
+              if (lang.nonEmpty) o.put("@language", JStr(lang))
+              else if (dt.nonEmpty && dt != JsonLdConsts.XsdString) o.put("@type", JStr(dt))
+            } else o.put("@id", JStr(value))
+            arr.add(o)
+          }
+          node.put(pred, arr)
+        }
+        (subj, Json.write(node))
+      }
+      .toDF("subj", "node_json")
+  }
+
   /** Built-in hub-entity dictionary: canonical surface form -> IRI.
     * Surfaces are the names the corpus actually emits as `s:name`
     * literals (PageGen.HubSurfaces), so the broadcast link join resolves

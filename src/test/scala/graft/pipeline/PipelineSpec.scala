@@ -171,6 +171,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(canon.count() == total, "canonicalization must not drop or duplicate triples")
   }
 
+  test("corpus-level flatten merges a subject's triples into one JSON-LD node") {
+    import spark.implicits._
+    val ts = Seq(
+      Triple("http://s/1", "http://p/name", 2, "Alice", null, null, "@default"),
+      Triple("http://s/1", "http://p/name", 2, "Alice", null, null, "@default"), // dup
+      Triple("http://s/1", "http://p/knows", 0, "http://s/2", null, null, "@default"),
+      Triple("http://s/1", "http://p/label", 2, "hallo",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "de", "@default"),
+      Triple("http://s/2", "http://p/name", 2, "Bob", null, null, "@default"),
+      Triple("http://s/3", "http://p/x", 2, "ignored", null, null, "http://g/1") // named graph
+    ).toDS()
+    val nodes = GraphMaterialize.flattenNodes(ts)
+      .as[(String, String)].collect().toMap
+    assert(nodes.keySet == Set("http://s/1", "http://s/2"))
+    val n1 = Json.parse(nodes("http://s/1")).asInstanceOf[JObj]
+    assert(n1("@id") == JStr("http://s/1"))
+    val names = n1("http://p/name").asInstanceOf[JArr]
+    assert(names.size == 1, "duplicate values must merge")
+    val lbl = n1("http://p/label").asInstanceOf[JArr](0).asInstanceOf[JObj]
+    assert(lbl("@language") == JStr("de"))
+    val knows = n1("http://p/knows").asInstanceOf[JArr](0).asInstanceOf[JObj]
+    assert(knows("@id") == JStr("http://s/2"))
+  }
+
   test("entity linking resolves hub mentions via broadcast dictionary") {
     val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
     val links = GraphMaterialize.linkEntities(
