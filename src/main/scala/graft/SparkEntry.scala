@@ -209,6 +209,13 @@ object SparkEntry {
       links.groupBy(col("entity")).agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("entity"))
     }),
+    "q_kg_flatten" -> ((s, _) => {
+      val pages = PageGen.pages(s, 500, seed = 42L, partitions = 8)
+      GraphMaterialize.flattenNodes(TripleEmit.pipeline(pages))
+        .withColumn("node_len", length(col("node_json")))
+        .select(col("subj"), col("node_len"))
+        .orderBy(col("subj"))
+    }),
     "q_media_features" -> ((s, _) => {
       val media = MultimodalOps.syntheticMedia(s, 200)
       MultimodalOps.extractFeatures(media).toDF()
