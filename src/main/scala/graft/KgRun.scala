@@ -57,6 +57,11 @@ object KgRun {
       .dropDuplicates()
     Lineage.writeWithLineage(spark, triplesKeyed, pending, triplesPath, manifestPath)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // a re-processed partition that no longer quarantines anything must not
+    // keep its old quarantine rows (ADVICE.md r2) — delete before overwrite
+    val runKeys = pending.select(col("partition_key")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    Lineage.deletePartitions(spark, quarantinePath, runKeys)
     emitted.filter(col("kind") === 1)
       .select(col("url"), col("block_idx"), col("errorCode"), col("errorDetail"),
         col("partition_key"))

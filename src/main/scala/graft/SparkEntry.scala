@@ -135,12 +135,16 @@ object SparkEntry {
     }),
     "q_ngram_topk" -> ((s, dir) => {
       // corpus n-gram statistics: ONE shingle expression per row (round
-      // 1's lesson: never re-evaluate the tokenize subtree per element)
-      val toks = split(trim(lower(col("text"))), "\\s+")
-      val n = greatest(size(toks) - 2, lit(1))
-      val shingles = transform(sequence(lit(0), n - 1),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+      // 1's lesson: never re-evaluate the tokenize subtree per element).
+      // Docs under 3 tokens are filtered on BOTH sides — Spark's concat_ws
+      // skips null element_at results while DuckDB's || yields NULL, so a
+      // short doc would silently diverge from the oracle (ADVICE.md r2).
+      val w = col("w")
+      val shingles = transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
       t(s, dir, "documents")
+        .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+        .filter(size(w) >= 3)
         .select(explode(shingles).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
@@ -275,8 +279,8 @@ object SparkEntry {
         |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
         |  FROM documents),
         |g AS (
-        |  SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS ngram
-        |  FROM t)
+        |  SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS ngram
+        |  FROM t WHERE len(w) >= 3)
         |SELECT ngram, count(*) AS n FROM g GROUP BY ngram
         |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
     "q_events_sessions" ->

@@ -564,7 +564,11 @@ object Turtle {
         }
       }
 
-      // nest bnodes referenced exactly once (TurtleTripleCallback.cs:178-202)
+      // nest bnodes referenced exactly once (TurtleTripleCallback.cs:178-202).
+      // A bnode referenced once but never a subject (e.g. toRDF of an empty
+      // embedded node object emits `s p _:b0` and no `_:b0` triples) has no
+      // ttl entry; leave its label string in place — replacing it with null
+      // would crash generateObject with a MatchError (ADVICE.md round 2).
       refs.keys.toVector.foreach { id =>
         val r = refs(id)
         if (r.length == 1) {
@@ -574,9 +578,11 @@ object Turtle {
             wrap.put(ColsKey, ArrayBuffer[Any](collections.remove(id).get))
             obj = wrap
           }
-          val predicate = r(0)
-          val at = predicate.lastIndexOf(id)
-          if (at >= 0) predicate(at) = obj
+          if (obj != null) {
+            val predicate = r(0)
+            val at = predicate.lastIndexOf(id)
+            if (at >= 0) predicate(at) = obj
+          }
         }
       }
       // surviving collections attach to their subject under ColsKey

@@ -76,22 +76,44 @@ object Lineage {
     keyed.join(broadcast(stillPending.select("partition_key")), Seq("partition_key"), "left_semi")
   }
 
+  /** Delete the partition directories for `keys` under `path` (bounded:
+    * keys come from the 64-bucket lineage keyspace). Dynamic partition
+    * overwrite only replaces partitions PRESENT in the new data, so a
+    * re-run partition that now yields ZERO rows for a sink would keep its
+    * stale files while the manifest publishes count=0 (ADVICE.md round 2);
+    * explicitly deleting this run's partitions first makes the re-run
+    * fully supersede prior state. */
+  def deletePartitions(spark: SparkSession, path: String, keys: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    if (fs.exists(base)) keys.foreach { k =>
+      val p = new org.apache.hadoop.fs.Path(base, s"partition_key=$k")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Write triples partitioned by the lineage key with dynamic partition
     * overwrite (a re-run REPLACES a partition's files — no stale
-    * duplicates), audit the written files, then publish the manifest rows
-    * with the TRUE written triple count per partition (round 1 recorded
-    * the page count under `triple_count`). `triplesKeyed` must carry a
-    * `partition_key` column (TripleEmit.emitKeyed provides it). */
+    * duplicates; zero-row re-run partitions are explicitly deleted, see
+    * [[deletePartitions]]), audit the written files, then publish the
+    * manifest rows with the TRUE written triple count per partition (round
+    * 1 recorded the page count under `triple_count`). `triplesKeyed` must
+    * carry a `partition_key` column (TripleEmit.emitKeyed provides it).
+    * Crash between delete and publish leaves the partition pending in the
+    * manifest (old fingerprint), so the next run re-processes it —
+    * write-audit-publish semantics are preserved. */
   def writeWithLineage(spark: SparkSession, triplesKeyed: DataFrame, pagesKeyed: DataFrame,
                        outPath: String, manifestPath: String): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    triplesKeyed.write.mode(SaveMode.Overwrite)
-      .partitionBy("partition_key").parquet(outPath)
-    // audit: count rows actually written per partition. The key list is
-    // bounded by the bucket count (64), so the isin filter partition-prunes
-    // the audit scan to this run's directories only.
+    // the key list is bounded by the bucket count (64)
     val runKeys = pagesKeyed.select(col("partition_key")).distinct()
       .collect().map(_.getString(0)).toSeq
+    deletePartitions(spark, outPath, runKeys)
+    triplesKeyed.write.mode(SaveMode.Overwrite)
+      .partitionBy("partition_key").parquet(outPath)
+    // audit: count rows actually written per partition; the isin filter
+    // partition-prunes the audit scan to this run's directories only.
     val writtenCounts = spark.read.parquet(outPath)
       .filter(col("partition_key").isin(runKeys: _*))
       .groupBy(col("partition_key").cast("string").as("partition_key"))

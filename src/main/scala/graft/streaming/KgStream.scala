@@ -13,12 +13,16 @@ import graft.pipeline._
   *
   * Design: `readStream` over a pages directory → the identical fused
   * extract→expand→toRDF flatMap (TripleEmit.emitKeyed — one narrow stage,
-  * no per-batch recompute) → `foreachBatch` sink that appends triples and
-  * quarantine rows partitioned by the lineage host bucket. Exactly-once
-  * across restarts comes from the checkpointed file-source offsets (a
-  * page file is never replayed into a committed batch twice);
-  * `Trigger.AvailableNow` drains the backlog and stops, which is the
-  * streaming equivalent of the resumable batch run.
+  * no per-batch recompute) → `foreachBatch` sink writing each micro-batch
+  * under a batchId-scoped directory. Exactly-once across restarts needs
+  * BOTH halves: the checkpointed file-source offsets guarantee a page
+  * file is never part of two committed batches, and the batchId-scoped
+  * OVERWRITE makes the sink write idempotent — a batch replayed after a
+  * crash-between-write-and-commit rewrites the same `batch=<id>` directory
+  * with identical content instead of appending duplicates (a plain append
+  * here would be at-least-once; ADVICE.md round 2). `Trigger.AvailableNow`
+  * drains the backlog and stops, which is the streaming equivalent of the
+  * resumable batch run.
   *
   * At 100 TB the same topology holds: the file source lists incrementally
   * (`maxFilesPerTrigger` bounds batch size → bounded executor memory),
@@ -57,21 +61,26 @@ object KgStream {
       .start()
   }
 
-  /** One micro-batch: split the tagged rows into the two sinks. Append
-    * mode is safe because the checkpoint guarantees a batch is composed
-    * of never-before-committed input files. */
+  /** One micro-batch: split the tagged rows into the two sinks, each
+    * written to a batchId-scoped directory with OVERWRITE. Micro-batch
+    * contents are deterministic functions of the batch's input files
+    * (recorded in the checkpoint offset log), so a replayed batch
+    * overwrites `batch=<id>` with byte-identical rows — the sink is
+    * idempotent, upgrading the file-source's at-least-once replay to
+    * effective exactly-once. Readers scan `$outDir/triples` and partition
+    * discovery exposes `batch` + `partition_key` as partition columns. */
   private[streaming] def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
     val triples = batch.filter(col("kind") === 0)
       .select(col("subj"), col("pred"), col("objKind"), col("objValue"),
         col("objDatatype"), col("objLang"), col("graph"), col("partition_key"))
       .dropDuplicates()
-    triples.write.mode("append").partitionBy("partition_key")
-      .parquet(s"$outDir/triples")
+    triples.write.mode("overwrite").partitionBy("partition_key")
+      .parquet(s"$outDir/triples/batch=$batchId")
     val quarantine = batch.filter(col("kind") === 1)
       .select(col("url"), col("block_idx"), col("errorCode"), col("errorDetail"),
         col("partition_key"))
-    quarantine.write.mode("append").partitionBy("partition_key")
-      .parquet(s"$outDir/quarantine")
+    quarantine.write.mode("overwrite").partitionBy("partition_key")
+      .parquet(s"$outDir/quarantine/batch=$batchId")
   }
 
   /** Windowed ingest metrics (SURVEY.md §2.4 window row, streaming form):

@@ -53,4 +53,31 @@ class KgRunSpec extends AnyFunSuite {
     assert(adj.count() > 0)
     assert(adj.filter(col("truncated")).count() == 0, "no hub exceeds the cap at this scale")
   }
+
+  test("re-run partition with zero rows fully supersedes prior state (ADVICE r2)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("kgrerun").toString
+    def keyed(rows: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("subj", "partition_key")
+    def pages(urls: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+      urls.toDF("url", "partition_key")
+    // run 1: partitions hbA and hbB both produce rows
+    Lineage.writeWithLineage(spark,
+      keyed(Seq(("s1", "hbA"), ("s2", "hbB"))),
+      pages(Seq(("https://a/1", "hbA"), ("https://b/1", "hbB"))),
+      s"$out/triples", s"$out/lineage")
+    assert(spark.read.parquet(s"$out/triples").count() == 2)
+    // run 2 re-processes BOTH partitions but hbB now yields zero rows
+    // (e.g. its pages all quarantine): stale hbB files must be gone and
+    // the manifest must agree with the data
+    Lineage.writeWithLineage(spark,
+      keyed(Seq(("s1", "hbA"))),
+      pages(Seq(("https://a/1", "hbA"), ("https://b/2", "hbB"))),
+      s"$out/triples", s"$out/lineage")
+    val data = spark.read.parquet(s"$out/triples")
+    assert(data.count() == 1, "stale hbB rows must be deleted")
+    val m = Lineage.readManifest(spark, s"$out/lineage")
+      .select("partition_key", "triple_count").as[(String, Long)].collect().toMap
+    assert(m("hbA") == 1L && m("hbB") == 0L, s"manifest must match data: $m")
+  }
 }

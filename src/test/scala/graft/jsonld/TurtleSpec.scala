@@ -140,6 +140,21 @@ class TurtleSpec extends AnyFunSuite {
       s"round-trip mismatch\n--- in ---\n$ttlIn\n--- out ---\n$out")
   }
 
+  test("serializer keeps a bnode object that is never a subject (ADVICE r2)") {
+    // `s p _:b0` with no _:b0 triples: the nest-once pass used to replace
+    // the label with null and crash generateObject with a MatchError
+    val ds = Turtle.parse("@prefix ex: <http://example.com/> .\nex:s ex:p _:b0 .\n")
+    val out = Turtle.toTurtle(ds)
+    val qs = Turtle.parse(out).getQuads("@default")
+    assert(qs.length == 1 && qs.head.obj.isBlankNode, out)
+    // same shape via toRDF: an empty embedded node object
+    val doc = Json.parse("""{"@id":"http://a/s","http://a/p":{}}""")
+    val opts = JsonLdOptions()
+    opts.format = "text/turtle"
+    val out2 = JsonLdProcessor.toRDF(doc, opts).left.getOrElse(fail("expected string"))
+    assert(Turtle.parse(out2).getQuads("@default").exists(_.obj.isBlankNode), out2)
+  }
+
   test("toRDF with format=text/turtle and useNamespaces emits prefixes") {
     val doc = Json.parse(
       """{"@context":{"ex":"http://example.com/"},

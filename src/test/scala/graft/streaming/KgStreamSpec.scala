@@ -39,4 +39,17 @@ class KgStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/triples").count() == rowsAfterFirstDrain,
       "restart must not reprocess committed files")
   }
+
+  test("writeBatch replay of the same batchId is idempotent (ADVICE r2)") {
+    // crash between the sink write and the checkpoint commit replays the
+    // batch; the batchId-scoped overwrite must not duplicate rows
+    val dir = java.nio.file.Files.createTempDirectory("kgreplay").toString
+    val batch = TripleEmit.emitKeyed(PageGen.pages(spark, 20, 42L, partitions = 2)).toDF()
+    KgStream.writeBatch(batch, 7L, dir)
+    val n1 = spark.read.parquet(s"$dir/triples").count()
+    assert(n1 > 0)
+    KgStream.writeBatch(batch, 7L, dir)
+    assert(spark.read.parquet(s"$dir/triples").count() == n1,
+      "replayed batch must overwrite, not append")
+  }
 }
