@@ -171,8 +171,13 @@ object SparkEntry {
       DedupOps.minhashNearDups(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.5)
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
+    // banded-LSH candidate join over the PERSISTED signature table (build
+    // once, probe many); the oracle recomputes the same pairs as an exact
+    // all-pairs bit_count(xor(...)) over the identical signatures, which
+    // also proves the banding's pigeonhole completeness at hamming<=3
     "q_simhash_neardups" -> ((s, dir) =>
-      DedupOps.simhashNearDups(t(s, dir, "documents"), maxHamming = 3)
+      DedupOps.simhashNearDupsFromSigs(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/simhash_sigs"), maxHamming = 3)
         .orderBy(col("a"), col("b"))),
     "q_jaccard_verify" -> ((s, dir) =>
       DedupOps.verifiedNearDups(t(s, dir, "documents"), jaccardThreshold = 0.5)
@@ -184,40 +189,62 @@ object SparkEntry {
       // against 64-dim data and null-padded every cosine
       VectorOps.topKCosine(t(s, dir, "embeddings"), annQuery, 20)
         .select(col("vec_id"), col("label"))),
+    // probe the PERSISTED keys-only sketch (AuxTables): candidates via a
+    // broadcast probe-join on (band, key), exact cosine on candidates only
     "q_ann_bucketed" -> ((s, dir) =>
-      VectorOps.annBucketed(t(s, dir, "embeddings"), annQuery, k = 20)
+      VectorOps.annBucketedFromSketch(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/ann_sketch"),
+        VectorOps.asVectors(t(s, dir, "embeddings")),
+        annQuery.map(_.toDouble), k = 20)
         .select(col("vec_id"), col("label"))),
+    // near-dup pairs over the corpus AUGMENTED with planted clones (the
+    // raw corpus has no pair above cos~0.52, so the unaugmented query
+    // passed vacuously on 0=0 rows in round 2); the oracle derives the
+    // identical clones in SQL and exact-joins all pairs
     "q_cosine_neardups" -> ((s, dir) =>
-      VectorOps.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.97)
+      VectorOps.cosineNearDups(
+        VectorOps.plantNearDups(VectorOps.asVectors(t(s, dir, "embeddings")),
+          AuxTables.NearDupPlants, AuxTables.NearDupIdOffset),
+        threshold = 0.97)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("a"), col("b"))),
 
-    // ---- KG-construction pipeline (correctness gate = W3C suite + golden tests) ----
-    "q_kg_triples" -> ((s, _) => {
-      val pages = PageGen.pages(s, 500, seed = 42L, partitions = 8)
+    // ---- KG-construction pipeline ----
+    // The JSON-LD expansion itself is gated by the W3C suite; the
+    // DISTRIBUTED operators downstream of it are gated by DuckDB oracles
+    // over the materialized triples table (round-2 verdict #1). q_kg_triples
+    // runs the LIVE pipeline and its oracle reads the aux materialization —
+    // a determinism + read-path check; the others read the aux table so
+    // their relational logic is independently recomputable in SQL.
+    "q_kg_triples" -> ((s, dir) => {
+      AuxTables.ensure(s, dir)
+      val pages = PageGen.pages(s, AuxTables.KgPages, seed = 42L, partitions = 8)
       TripleEmit.pipeline(pages).toDF()
-        .orderBy(col("subj"), col("pred"), col("objValue"), col("graph"))
+        .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
+          col("objDatatype"), col("objLang"), col("graph"))
     }),
-    "q_kg_adjacency" -> ((s, _) => {
-      val pages = PageGen.pages(s, 500, seed = 42L, partitions = 8)
-      GraphMaterialize.adjacency(TripleEmit.pipeline(pages))
+    "q_kg_adjacency" -> ((s, dir) => {
+      import s.implicits._
+      val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
+      GraphMaterialize.adjacency(triples)
         .select(col("subj"), col("degree"))
         .orderBy(col("degree").desc, col("subj"))
         .limit(100)
     }),
-    "q_kg_entitylink" -> ((s, _) => {
-      val pages = PageGen.pages(s, 500, seed = 42L, partitions = 8)
-      val triples = TripleEmit.pipeline(pages)
+    "q_kg_entitylink" -> ((s, dir) => {
+      import s.implicits._
+      val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
       val links = GraphMaterialize.linkEntities(
         GraphMaterialize.mentions(triples), GraphMaterialize.hubDictionary(s))
-      links.groupBy(col("entity")).agg(count(lit(1)).as("n_mentions"))
+      links.groupBy(coalesce(col("entity"), lit("(unlinked)")).as("entity"))
+        .agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("entity"))
     }),
-    "q_kg_flatten" -> ((s, _) => {
-      val pages = PageGen.pages(s, 500, seed = 42L, partitions = 8)
-      GraphMaterialize.flattenNodes(TripleEmit.pipeline(pages))
-        .withColumn("node_len", length(col("node_json")))
-        .select(col("subj"), col("node_len"))
+    "q_kg_flatten" -> ((s, dir) => {
+      import s.implicits._
+      val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
+      GraphMaterialize.flattenNodes(triples)
+        .select(col("subj"), col("node_json"))
         .orderBy(col("subj"))
     }),
     "q_media_features" -> ((s, _) => {
@@ -340,13 +367,111 @@ object SparkEntry {
       s"""SELECT vec_id, label FROM embeddings
          |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annQuerySqlLiteral) DESC, vec_id
          |LIMIT 20""".stripMargin,
+    // independent re-derivation of the planted clones (vec_id+offset,
+    // emb[0]+0.125 — exact binary fraction, bit-identical doubles) and
+    // exact all-pairs cosine; the Spark side must find the same set via
+    // its keys-only LSH candidate path
     "q_cosine_neardups" ->
-      """SELECT a, b, round(c, 4) AS cos FROM (
-        |  SELECT x.vec_id AS a, y.vec_id AS b,
-        |    list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS c
-        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-        |WHERE c >= 0.97 ORDER BY a, b""".stripMargin
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |aug AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT vec_id + ${AuxTables.NearDupIdOffset},
+         |    [CASE WHEN i = 1 THEN emb[i] + 0.125 ELSE emb[i] END FOR i IN range(1, len(emb) + 1)]
+         |  FROM base WHERE vec_id < ${AuxTables.NearDupPlants}),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |    list_cosine_similarity(x.emb, y.emb) AS c
+         |  FROM aug x JOIN aug y ON x.vec_id < y.vec_id)
+         |SELECT a, b, round(c, 4) AS cos FROM p WHERE c >= 0.97 ORDER BY a, b""".stripMargin,
+    // candidates = sketch rows matching any probed (band, key) — the probe
+    // list is a pure function of the fixed query vector, inlined here —
+    // then exact cosine top-k on the candidates only
+    "q_ann_bucketed" ->
+      s"""WITH probes AS (SELECT * FROM (VALUES $annProbesSqlValues) t(band, "key")),
+         |cand AS (
+         |  SELECT DISTINCT s.vec_id
+         |  FROM read_parquet('{AUX}/ann_sketch/*.parquet') s
+         |  JOIN probes p ON s.band = p.band AND s."key" = p."key")
+         |SELECT e.vec_id, e.label FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], $annQuerySqlLiteral) DESC, e.vec_id
+         |LIMIT 20""".stripMargin,
+    // exact all-pairs hamming over the same persisted signatures; equality
+    // with the Spark side also proves the 4x16-bit banding's pigeonhole
+    // completeness at hamming<=3
+    "q_simhash_neardups" ->
+      """SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |FROM read_parquet('{AUX}/simhash_sigs/*.parquet') x
+        |JOIN read_parquet('{AUX}/simhash_sigs/*.parquet') y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // ---- KG oracles over the materialized triples table ----
+    "q_kg_triples" ->
+      """SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph
+        |FROM read_parquet('{AUX}/triples/*.parquet')
+        |ORDER BY subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
+    "q_kg_adjacency" ->
+      """SELECT subj, count(*) AS degree
+        |FROM read_parquet('{AUX}/triples/*.parquet')
+        |GROUP BY subj ORDER BY degree DESC, subj LIMIT 100""".stripMargin,
+    "q_kg_entitylink" ->
+      """SELECT coalesce(entity, '(unlinked)') AS entity, count(*) AS n_mentions
+        |FROM (
+        |  SELECT lower(objValue) AS surface
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE objKind = 2 AND pred IN (
+        |    'http://schema.org/name', 'http://xmlns.com/foaf/0.1/name',
+        |    'http://schema.org/brand', 'http://purl.org/dc/elements/1.1/title')) m
+        |LEFT JOIN (
+        |  SELECT lower(surface) AS surface, entity
+        |  FROM read_parquet('{AUX}/hub_dict/*.parquet')) d USING (surface)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // canonical node-object JSON rebuilt from scratch in SQL: same value
+    // dedup, same (kind, value, datatype, lang) value order, same sorted
+    // predicates, same compact JSON syntax (corpus values are ASCII with
+    // no JSON-escapable characters; PipelineSpec asserts that invariant)
+    "q_kg_flatten" ->
+      """WITH t AS (
+        |  SELECT DISTINCT subj, pred, objKind, objValue,
+        |    coalesce(objDatatype, '') AS dt, coalesce(objLang, '') AS lg
+        |  FROM read_parquet('{AUX}/triples/*.parquet') WHERE graph = '@default'),
+        |v AS (
+        |  SELECT subj, pred, objKind, objValue, dt, lg,
+        |    CASE WHEN objKind = 2 THEN
+        |      '{"@value":"' || objValue || '"' ||
+        |      CASE WHEN lg <> '' THEN ',"@language":"' || lg || '"'
+        |           WHEN dt <> '' AND dt <> 'http://www.w3.org/2001/XMLSchema#string'
+        |             THEN ',"@type":"' || dt || '"'
+        |           ELSE '' END || '}'
+        |    ELSE '{"@id":"' || objValue || '"}' END AS oj
+        |  FROM t),
+        |p AS (
+        |  SELECT subj, pred,
+        |    '"' || pred || '":[' || string_agg(oj, ',' ORDER BY objKind, objValue, dt, lg) || ']' AS pj
+        |  FROM v GROUP BY subj, pred),
+        |n AS (
+        |  SELECT subj,
+        |    '{"@id":"' || subj || '",' || string_agg(pj, ',' ORDER BY pred) || '}' AS node_json
+        |  FROM p GROUP BY subj)
+        |SELECT subj, node_json FROM n ORDER BY subj""".stripMargin,
+    // multimodal plumbing: n_bytes/frames_sampled recomputed in SQL from
+    // the raw persisted bytes (the decode stub's feature vector is not
+    // part of the checked projection)
+    "q_media_features" ->
+      """SELECT media_id, kind, CAST(octet_length(bytes) AS INTEGER) AS n_bytes,
+        |  CAST(CASE kind WHEN 'video' THEN greatest(1, octet_length(bytes) // 32)
+        |                 WHEN 'audio' THEN greatest(1, octet_length(bytes) // 16)
+        |                 ELSE 1 END AS INTEGER) AS frames_sampled
+        |FROM read_parquet('{AUX}/media/*.parquet') ORDER BY media_id""".stripMargin
   )
+
+  /** Inlined (band, key) probe list for the ANN oracle — a deterministic
+    * function of the fixed query vector and the pinned sketch params. */
+  private def annProbesSqlValues: String =
+    VectorOps.annProbes(annQuery.map(_.toDouble))
+      .map { case (b, k) => s"($b, $k)" }.mkString(", ")
 
   /** Shared CTE: per-doc distinct word-3-gram shingle sets and all-pairs
     * exact Jaccard. Tokenization mirrors TextHash.tokenHashes (runs of

@@ -43,6 +43,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // materialize the aux oracle tables up front so no query's guard
+    // budget is spent building them; queries hit the _READY fast path
+    val auxDir = AuxTables.ensure(spark, sfDir)
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong * 1000L
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -65,8 +68,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {AUX} resolves to this run's materialized aux-table dir: the oracle
+    // SQL reads those parquet files directly via read_parquet()
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

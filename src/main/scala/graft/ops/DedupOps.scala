@@ -150,8 +150,16 @@ object DedupOps {
     * pair with hamming <= 3 by pigeonhole), then filtered on true hamming.
     * 16-bit band keys keep bucket cardinality ~2^16 — round 1's 4-bit
     * bands (16 distinct keys) made this join near-cartesian. */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = sketches(documents).select(col("doc_id"), col("simhash").as("sh"))
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashNearDupsFromSigs(sketches(documents).select("doc_id", "simhash"), maxHamming)
+
+  /** Banded candidate join + exact hamming filter over a persisted
+    * signature table (doc_id, simhash) — the build-once/probe-many shape:
+    * at scale the signatures are materialized once (AuxTables) and every
+    * dedup pass is this 16-byte-row equi-join, which is also what the
+    * DuckDB all-pairs oracle independently recomputes. */
+  def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = sigs.select(col("doc_id"), col("simhash").as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "key")))

@@ -10,7 +10,7 @@ import graft.pipeline.SparkTestBase
 class AnnRecallSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  test("multi-probe ANN recalls most of the brute-force top-20") {
+  test("multi-probe ANN recalls >=0.9 of the brute-force top-20") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = graft.SparkEntry.annQuery
@@ -19,6 +19,14 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(approx.size == 20, s"ANN must fill k: got ${approx.size}")
     val recall = (exact & approx).size / 20.0
     info(s"measured recall = $recall")
-    assert(recall >= 0.6, s"multi-probe recall too low: $recall")
+    // round 2 accepted 0.6 (1-bit probes); 2-bit multi-probe must clear 0.9
+    assert(recall >= 0.9, s"multi-probe recall too low: $recall")
+  }
+
+  test("probe set stays a tiny broadcast") {
+    val probes = VectorOps.annProbes(graft.SparkEntry.annQuery.map(_.toDouble))
+    // 8 bands x (1 + 6 + C(6,2)=15) = 176 keys — broadcast-trivial
+    assert(probes.size == 176, s"probe count drifted: ${probes.size}")
+    assert(probes.distinct.size == probes.size)
   }
 }

@@ -73,7 +73,7 @@ class OpsSpec extends AnyFunSuite {
       (2L, Array(0.99f, 0.01f, 0f, 0f), 0),
       (3L, Array(0f, 1f, 0f, 0f), 1)
     ).toDF("vec_id", "embedding", "label")
-    val pairs = VectorOps.cosineNearDups(emb, threshold = 0.95)
+    val pairs = VectorOps.cosineNearDups(VectorOps.asVectors(emb), threshold = 0.95)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }

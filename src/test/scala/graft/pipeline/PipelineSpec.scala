@@ -195,6 +195,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(knows("@id") == JStr("http://s/2"))
   }
 
+  test("corpus flatten: distributed output equals in-core merge on the full 500-page corpus") {
+    import spark.implicits._
+    // the distributed/single-node equivalence the survey's C13 row
+    // promises (round-2 verdict #8): flattenNodes over the whole seeded
+    // corpus vs an independent in-core reconstruction from the same
+    // collected triples
+    val triples = TripleEmit.pipeline(PageGen.pages(spark, 500, 42L, partitions = 8))
+    val rows = triples.filter(col("graph") === "@default").as[Triple].collect()
+    val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+    val local: Map[String, String] = rows.groupBy(_.subj).map { case (subj, ts) =>
+      val sb = new StringBuilder
+      sb.append("{\"@id\":\"").append(subj).append('"')
+      ts.groupBy(_.pred).toSeq.sortBy(_._1).foreach { case (p, vs) =>
+        val sorted = vs.map(t => (t.objKind, t.objValue,
+          Option(t.objDatatype).getOrElse(""), Option(t.objLang).getOrElse("")))
+          .distinct.sorted
+        sb.append(",\"").append(p).append("\":[")
+        sb.append(sorted.map { case (k, v, dt, lg) =>
+          if (k == 2) {
+            val extra =
+              if (lg.nonEmpty) s""","@language":"$lg""""
+              else if (dt.nonEmpty && dt != XsdString) s""","@type":"$dt""""
+              else ""
+            s"""{"@value":"$v"$extra}"""
+          } else s"""{"@id":"$v"}"""
+        }.mkString(","))
+        sb.append(']')
+      }
+      sb.append('}')
+      subj -> sb.toString
+    }
+    val dist = GraphMaterialize.flattenNodes(triples).as[(String, String)].collect().toMap
+    assert(dist.keySet == local.keySet,
+      s"subject sets differ: ${(dist.keySet diff local.keySet).take(3)} / ${(local.keySet diff dist.keySet).take(3)}")
+    val diffs = dist.collect { case (k, v) if local(k) != v => k }
+    assert(diffs.isEmpty, s"node JSON differs for ${diffs.take(3)}:\n${diffs.headOption.map(k => s"dist=${dist(k)}\nlocal=${local(k)}")}")
+  }
+
+  test("corpus flatten: hub subject is degree-capped, not OOMed") {
+    import spark.implicits._
+    // 10^6 values on one subject: the ungapped round-2 version buffered
+    // them all in one task's TreeSet (round-2 verdict #4)
+    val hub = spark.range(0, 1000000, 1, 8).map(i =>
+      Triple("http://hub/1", "http://p/v", 2, s"v$i", null, null, "@default"))
+    val normal = Seq(
+      Triple("http://s/1", "http://p/name", 2, "Alice", null, null, "@default")).toDS()
+    val nodes = GraphMaterialize.flattenNodes(hub.union(normal), maxValuesPerNode = 1000)
+      .as[(String, String)].collect().toMap
+    val hubValues = Json.parse(nodes("http://hub/1")).asInstanceOf[JObj]("http://p/v")
+      .asInstanceOf[JArr].size
+    assert(hubValues <= 2000 && hubValues >= 500,
+      s"hub must be hash-sampled to ~cap, got $hubValues")
+    assert(Json.parse(nodes("http://s/1")).asInstanceOf[JObj]("http://p/name")
+      .asInstanceOf[JArr].size == 1, "non-hub subjects must be untouched")
+  }
+
+  test("seeded corpus triples need no JSON escaping (flatten-oracle invariant)") {
+    import spark.implicits._
+    // the q_kg_flatten DuckDB oracle concatenates values into JSON without
+    // escaping; this invariant is what makes that valid
+    val triples = TripleEmit.pipeline(PageGen.pages(spark, 500, 42L, partitions = 8))
+      .collect()
+    val clean = "^[\\x20-\\x7e]*$".r
+    triples.foreach { t =>
+      Seq(t.subj, t.pred, t.objValue, Option(t.objDatatype).getOrElse(""),
+        Option(t.objLang).getOrElse(""), t.graph).foreach { v =>
+        assert(clean.matches(v) && !v.contains('"') && !v.contains('\\'),
+          s"triple component needs JSON escaping: $v")
+      }
+    }
+  }
+
   test("entity linking resolves hub mentions via broadcast dictionary") {
     val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
     val links = GraphMaterialize.linkEntities(
