@@ -247,6 +247,19 @@ object SparkEntry {
         .select(col("subj"), col("node_json"))
         .orderBy(col("subj"))
     }),
+    // corpus-scale Turtle ingestion, proven by round-trip: the bnode-free
+    // default-graph slice of the triples table is serialized into a
+    // 32-doc Turtle corpus (with prefixed names) and re-parsed through
+    // the distributed reader; the oracle selects the same slice directly,
+    // so any parser/serializer divergence breaks the hash
+    "q_turtle_ingest" -> ((s, dir) => {
+      val base = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+        .filter(col("graph") === "@default" && col("objKind") =!= 1 &&
+          substring(col("subj"), 1, 2) =!= "_:")
+      TurtleIngest.triples(TurtleIngest.serializeDocs(base, buckets = 32)).toDF()
+        .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
+          col("objDatatype"), col("objLang"), col("graph"))
+    }),
     "q_media_features" -> ((s, _) => {
       val media = MultimodalOps.syntheticMedia(s, 200)
       MultimodalOps.extractFeatures(media).toDF()
@@ -456,6 +469,12 @@ object SparkEntry {
         |    '{"@id":"' || subj || '",' || string_agg(pj, ',' ORDER BY pred) || '}' AS node_json
         |  FROM p GROUP BY subj)
         |SELECT subj, node_json FROM n ORDER BY subj""".stripMargin,
+    "q_turtle_ingest" ->
+      """SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph
+        |FROM read_parquet('{AUX}/triples/*.parquet')
+        |WHERE graph = '@default' AND objKind <> 1 AND substr(subj, 1, 2) <> '_:'
+        |ORDER BY subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
     // multimodal plumbing: n_bytes/frames_sampled recomputed in SQL from
     // the raw persisted bytes (the decode stub's feature vector is not
     // part of the checked projection)
