@@ -139,14 +139,30 @@ object SparkEntry {
       // Docs under 3 tokens are filtered on BOTH sides — Spark's concat_ws
       // skips null element_at results while DuckDB's || yields NULL, so a
       // short doc would silently diverge from the oracle (ADVICE.md r2).
+      //
+      // Shuffle-slimming (round-2 verdict #9): the count shuffle carries
+      // 8-byte xxhash64 keys, not raw 3-gram strings (~5x fewer exchange
+      // bytes at this corpus' mean shingle length). The top-k strings are
+      // recovered by a SECOND narrow scan semi-joined against the tiny
+      // broadcast candidate-hash set (count >= the 20th-largest count, so
+      // boundary ties survive) — at 100 TB a rescan is cheaper than an
+      // all-strings exchange. 64-bit collisions could merge two shingles'
+      // counts (~1e-6 odds at 5M distinct; deterministic per corpus).
       val w = col("w")
       val shingles = transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
-      t(s, dir, "documents")
+      val exploded = t(s, dir, "documents")
         .select(split(trim(lower(col("text"))), "\\s+").as("w"))
         .filter(size(w) >= 3)
         .select(explode(shingles).as("ngram"))
-        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      val counts = exploded.select(xxhash64(col("ngram")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      val kth = counts.orderBy(col("n").desc).limit(20).agg(min(col("n")).as("kth"))
+      val cand = counts.crossJoin(broadcast(kth))
+        .filter(col("n") >= col("kth")).select(col("h"), col("n"))
+      exploded.withColumn("h", xxhash64(col("ngram")))
+        .join(broadcast(cand), Seq("h"))
+        .select(col("ngram"), col("n")).dropDuplicates("ngram")
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)
     }),
