@@ -29,7 +29,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r3a"
+  private val Version = "r3b"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -73,7 +73,19 @@ object AuxTables {
     VectorOps.sketchKeys(vecs, VectorOps.AnnPlanes, VectorOps.AnnBands, VectorOps.AnnSeed)
       .coalesce(1).write.mode("overwrite").parquet(s"$d/ann_sketch")
 
-    // 5. synthetic media inputs (the multimodal query's raw bytes)
+    // 5. IVF index: per-vector cell assignment + the fixed ANN query's
+    //    probed-cell list (both deterministic; at scale cells would be a
+    //    partition column so a probe prunes to nprobe/k of the index)
+    val cents = VectorOps.ivfCentroids(vecs)
+    VectorOps.ivfAssign(vecs, cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/ivf_cells")
+    locally {
+      import spark.implicits._
+      VectorOps.ivfProbeCells(SparkEntry.annQuery.map(_.toDouble), cents)
+        .toDF("cell").coalesce(1).write.mode("overwrite").parquet(s"$d/ivf_probed")
+    }
+
+    // 6. synthetic media inputs (the multimodal query's raw bytes)
     MultimodalOps.syntheticMedia(spark, 200).toDF()
       .select("media_id", "kind", "bytes")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/media")

@@ -213,6 +213,18 @@ object SparkEntry {
         VectorOps.asVectors(t(s, dir, "embeddings")),
         annQuery.map(_.toDouble), k = 20)
         .select(col("vec_id"), col("label"))),
+    // IVF scale path: probe the persisted cell table with the query's
+    // nearest cells (recomputed deterministically), exact cosine on the
+    // candidates; the oracle reads the same cell + probed-cell tables
+    "q_ann_ivf" -> ((s, dir) => {
+      val aux = AuxTables.ensure(s, dir)
+      val vecs = VectorOps.asVectors(t(s, dir, "embeddings"))
+      val probed = VectorOps.ivfProbeCells(annQuery.map(_.toDouble),
+        VectorOps.ivfCentroids(vecs))
+      VectorOps.annIvfFromCells(s.read.parquet(s"$aux/ivf_cells"), vecs,
+        probed, annQuery.map(_.toDouble), k = 20)
+        .select(col("vec_id"), col("label"))
+    }),
     // near-dup pairs over the corpus AUGMENTED with planted clones (the
     // raw corpus has no pair above cos~0.52, so the unaugmented query
     // passed vacuously on 0=0 rows in round 2); the oracle derives the
@@ -255,6 +267,14 @@ object SparkEntry {
       links.groupBy(coalesce(col("entity"), lit("(unlinked)")).as("entity"))
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("entity"))
+    }),
+    "q_kg_frame" -> ((s, dir) => {
+      import s.implicits._
+      val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
+      GraphMaterialize.frameByType(triples, "http://schema.org/Event")
+        .orderBy(col("root"), col("depth"), col("subj"), col("pred"),
+          col("objKind"), col("objValue"),
+          col("objDatatype"), col("objLang"))
     }),
     "q_kg_flatten" -> ((s, dir) => {
       import s.implicits._
@@ -424,6 +444,12 @@ object SparkEntry {
          |SELECT e.vec_id, e.label FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
          |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], $annQuerySqlLiteral) DESC, e.vec_id
          |LIMIT 20""".stripMargin,
+    "q_ann_ivf" ->
+      s"""SELECT e.vec_id, e.label FROM embeddings e
+         |JOIN read_parquet('{AUX}/ivf_cells/*.parquet') c ON e.vec_id = c.vec_id
+         |WHERE c.cell IN (SELECT cell FROM read_parquet('{AUX}/ivf_probed/*.parquet'))
+         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], $annQuerySqlLiteral) DESC, e.vec_id
+         |LIMIT 20""".stripMargin,
     // exact all-pairs hamming over the same persisted signatures; equality
     // with the Spark side also proves the 4x16-bit banding's pigeonhole
     // completeness at hamming<=3
@@ -457,6 +483,28 @@ object SparkEntry {
         |  SELECT lower(surface) AS surface, entity
         |  FROM read_parquet('{AUX}/hub_dict/*.parquet')) d USING (surface)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // frame = filter + join, re-derived relationally: roots by rdf:type,
+    // depth-0 rows via semi-join, depth-1 rows via the object->subject
+    // self-join, distinct-merged exactly like the Spark side
+    "q_kg_frame" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objKind, objValue, objDatatype, objLang
+        |  FROM read_parquet('{AUX}/triples/*.parquet') WHERE graph = '@default'),
+        |roots AS (
+        |  SELECT DISTINCT subj FROM tr
+        |  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |    AND objKind = 0 AND objValue = 'http://schema.org/Event'),
+        |d0 AS (
+        |  SELECT t.subj AS root, 0 AS depth, t.* FROM tr t JOIN roots r ON t.subj = r.subj),
+        |refs AS (
+        |  SELECT DISTINCT t.subj AS root, t.objValue AS ref FROM tr t
+        |  JOIN roots r ON t.subj = r.subj WHERE t.objKind <> 2),
+        |d1 AS (
+        |  SELECT f.root, 1 AS depth, t.* FROM refs f JOIN tr t ON t.subj = f.ref)
+        |SELECT DISTINCT root, depth, subj, pred, objKind, objValue, objDatatype, objLang
+        |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1)
+        |ORDER BY root, depth, subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST""".stripMargin,
     // canonical node-object JSON rebuilt from scratch in SQL: same value
     // dedup, same (kind, value, datatype, lang) value order, same sorted
     // predicates, same compact JSON syntax (corpus values are ASCII with

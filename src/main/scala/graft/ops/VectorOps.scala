@@ -193,4 +193,103 @@ object VectorOps {
     annBucketedFromSketch(sketchKeys(vecs, planes, bands, seed), vecs, qv, k,
       planes, bands, seed)
   }
+
+  // ---------------- IVF (coarse-quantizer cells) ----------------
+
+  /** Pinned parameters of the persisted IVF cell table. */
+  val IvfCells = 32
+  val IvfProbe = 8
+  val IvfSeed = 11L
+
+  /** Deterministic prototype centroids: the `k` vectors with the smallest
+    * seeded id-hash — a reproducible pseudo-random sample, selected by a
+    * distributed TakeOrdered (no driver-side scan). No iterative
+    * refinement on purpose: Lloyd updates average doubles in shuffle
+    * order, which is run-nondeterministic, and cell assignment must be
+    * bit-reproducible for the resume story and the SQL oracle. A k-means
+    * refinement can replace the prototypes offline without touching the
+    * assign/probe path. */
+  def ivfCentroids(vectors: DataFrame, k: Int = IvfCells,
+                   seed: Long = IvfSeed): Array[Array[Double]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("emb"))
+      .withColumn("rk", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy(col("rk"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .collect().map(_._2)
+  }
+
+  @inline private def cosineScalar(a: Array[Double], b: Array[Double],
+                                   na: Double, nb: Double): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d / (na * nb)
+  }
+
+  @inline private def normScalar(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Indices of the `n` centroids nearest to `v` by cosine, ranked
+    * (-score, index) so ties are deterministic. */
+  private def nearestCells(v: Array[Double], centroids: Array[Array[Double]],
+                           centroidNorms: Array[Double], n: Int): Array[Int] = {
+    val nv = normScalar(v)
+    val scored = Array.tabulate(centroids.length)(c =>
+      (cosineScalar(v, centroids(c), nv, centroidNorms(c)), c))
+    // strict descending score, index ascending — fully deterministic
+    scored.sortBy { case (s, c) => (-s, c) }.take(n).map(_._2)
+  }
+
+  /** One narrow pass assigning every vector to its nearest centroid cell:
+    * (vec_id, cell) — the build-once IVF index table (AuxTables persists
+    * it). Centroids broadcast implicitly via closure (k × dims doubles). */
+  def ivfAssign(vectors: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val norms = centroids.map(normScalar)
+    vectors.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) => (id, nearestCells(v, centroids, norms, 1)(0)) }
+      }.toDF("vec_id", "cell")
+  }
+
+  /** The `nprobe` cells nearest to a query — the probe list for one
+    * query, deterministic from (centroids, query). */
+  def ivfProbeCells(query: Array[Double], centroids: Array[Array[Double]],
+                    nprobe: Int = IvfProbe): Seq[Int] =
+    nearestCells(query, centroids, centroids.map(normScalar), nprobe).toSeq
+
+  /** IVF ANN: candidates = vectors assigned to any probed cell (a
+    * partition-prunable IN filter on the persisted cell table — at scale
+    * the cell table is written partitioned BY cell, so a probe reads
+    * nprobe/k of the index), then exact cosine top-k with the embeddings
+    * joined back by id. */
+  def annIvfFromCells(cells: DataFrame, vectors: DataFrame,
+                      probedCells: Seq[Int], query: Array[Double], k: Int): DataFrame = {
+    val candIds = cells.filter(col("cell").isin(probedCells: _*)).select(col("vec_id"))
+    val q = array(query.map(lit): _*)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    vectors.join(candIds, Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        (dot(col("emb"), q) / (norm(col("emb")) * lit(qNorm))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Convenience: build + probe in one call (tests / ad-hoc). */
+  def annIvf(embeddings: DataFrame, query: Array[Float], k: Int,
+             cellsK: Int = IvfCells, nprobe: Int = IvfProbe,
+             seed: Long = IvfSeed): DataFrame = {
+    val vecs = asVectors(embeddings)
+    val cents = ivfCentroids(vecs, cellsK, seed)
+    val qv = query.map(_.toDouble)
+    annIvfFromCells(ivfAssign(vecs, cents), vecs, ivfProbeCells(qv, cents, nprobe), qv, k)
+  }
 }

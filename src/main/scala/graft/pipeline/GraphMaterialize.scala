@@ -153,6 +153,39 @@ object GraphMaterialize {
       .toDF("subj", "node_json")
   }
 
+  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** Corpus-level framing (SURVEY.md §2.2 C14 corpus analogue: "the frame
+    * is a filter + join"): frame-match = subjects carrying rdf:type
+    * `typeIri` (JsonLdApi.Frame's FilterNodes, Core/JsonLdApi.cs:1708-1777,
+    * reduced to its relational core), embed = the matched subjects' 1-hop
+    * object neighborhoods via a subject-keyed self-join (EmbedValues,
+    * Core/JsonLdApi.cs:1816-1876). Output rows are (root, depth, triple),
+    * deduplicated — a root referencing the same node through two
+    * predicates embeds it once, matching the reference's embed-once rule.
+    *
+    * Scale shape: the match set joins as left_semi (broadcastable when
+    * selective, SMJ otherwise); the embed hop is an equi-join on the
+    * subject key — no row explosion beyond true fan-out, no driver
+    * traversal. Deeper frames iterate the same join, one hop per level. */
+  def frameByType(triples: Dataset[Triple], typeIri: String): DataFrame = {
+    val t = triples.toDF().filter(col("graph") === "@default")
+    val roots = t.filter(col("pred") === RdfType && col("objKind") === 0 &&
+        col("objValue") === typeIri)
+      .select(col("subj")).distinct()
+    val d0 = t.join(roots, Seq("subj"), "left_semi")
+      .select(col("subj").as("root"), lit(0).as("depth"), col("subj"),
+        col("pred"), col("objKind"), col("objValue"), col("objDatatype"), col("objLang"))
+    val refs = t.join(roots, Seq("subj"), "left_semi")
+      .filter(col("objKind") =!= 2) // follow IRI and bnode refs, not literals
+      .select(col("subj").as("root"), col("objValue").as("subj"))
+      .distinct()
+    val d1 = refs.join(t, Seq("subj"))
+      .select(col("root"), lit(1).as("depth"), col("subj"),
+        col("pred"), col("objKind"), col("objValue"), col("objDatatype"), col("objLang"))
+    d0.unionByName(d1).dropDuplicates()
+  }
+
   /** Built-in hub-entity dictionary: canonical surface form -> IRI.
     * Surfaces are the names the corpus actually emits as `s:name`
     * literals (PageGen.HubSurfaces), so the broadcast link join resolves

@@ -23,6 +23,65 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"multi-probe recall too low: $recall")
   }
 
+  test("IVF ANN recalls >=0.9 of the brute-force top-20 on clustered data") {
+    import spark.implicits._
+    // IVF's regime is CLUSTERED corpora (real embedding spaces); on the
+    // i.i.d.-Gaussian sf tables, 64-dim vectors are near-orthogonal, cell
+    // assignment is noise, and recall is ~0.4 at nprobe=8/32 — measured
+    // and reported below, but the asserted bar uses data with structure.
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def gauss(seed: Long, n: Int): Array[Float] = {
+      // Box-Muller-free: sum of 4 uniforms per dim, deterministic
+      Array.tabulate(n) { i =>
+        var s = 0.0f
+        var j = 0
+        while (j < 4) {
+          s += (graft.pipeline.PageGen.mix64(seed ^ (i.toLong << 8) ^ j) >>> 11).toFloat / (1L << 53).toFloat - 0.5f
+          j += 1
+        }
+        s
+      }
+    }
+    val nClusters = 20
+    val perCluster = 50
+    val centers = Array.tabulate(nClusters)(c => unit(gauss(1000L + c, 64)))
+    val rows = for {
+      c <- 0 until nClusters; p <- 0 until perCluster
+    } yield {
+      val noise = gauss(c.toLong * 1000 + p, 64)
+      val v = unit(centers(c).zip(noise).map { case (a, b) => a + 0.25f * b })
+      ((c * perCluster + p).toLong, v, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val q = rows(7)._2 // a point of cluster 0: realistic in-distribution query
+    val exact = VectorOps.topKCosine(emb, q, 20).select("vec_id").as[Long].collect().toSet
+    val approx = VectorOps.annIvf(emb, q, k = 20).select("vec_id").as[Long].collect().toSet
+    val recall = (exact & approx).size / 20.0
+    info(s"clustered-data IVF recall = $recall (32 cells, nprobe 8)")
+    assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
+
+    // random-data reference number (not asserted; LSH covers this regime)
+    val rand = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val rq = graft.SparkEntry.annQuery
+    val rexact = VectorOps.topKCosine(rand, rq, 20).select("vec_id").as[Long].collect().toSet
+    val rapprox = VectorOps.annIvf(rand, rq, k = 20).select("vec_id").as[Long].collect().toSet
+    info(s"random-data IVF recall = ${(rexact & rapprox).size / 20.0} (worst case, documented)")
+  }
+
+  test("IVF assignment is deterministic across partitionings") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v1 = VectorOps.asVectors(emb).repartition(2)
+    val v8 = VectorOps.asVectors(emb).repartition(8)
+    val c = VectorOps.ivfCentroids(VectorOps.asVectors(emb))
+    val a1 = VectorOps.ivfAssign(v1, c).as[(Long, Int)].collect().toMap
+    val a8 = VectorOps.ivfAssign(v8, c).as[(Long, Int)].collect().toMap
+    assert(a1 == a8, "cell assignment must be partitioning-invariant")
+  }
+
   test("probe set stays a tiny broadcast") {
     val probes = VectorOps.annProbes(graft.SparkEntry.annQuery.map(_.toDouble))
     // 8 bands x (1 + 6 + C(6,2)=15) = 176 keys — broadcast-trivial

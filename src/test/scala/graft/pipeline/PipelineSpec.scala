@@ -267,6 +267,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus framing embeds 1-hop neighborhoods of type-matched roots") {
+    import spark.implicits._
+    val ts = Seq(
+      Triple("http://e/1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0,
+        "http://schema.org/Event", null, null, "@default"),
+      Triple("http://e/1", "http://p/loc", 0, "http://place/1", null, null, "@default"),
+      Triple("http://e/1", "http://p/perf", 1, "_:d1.b0", null, null, "@default"),
+      Triple("http://place/1", "http://p/name", 2, "Venue", null, null, "@default"),
+      Triple("_:d1.b0", "http://p/name", 2, "Band", null, null, "@default"),
+      Triple("http://other/1", "http://p/name", 2, "NotAnEvent", null, null, "@default")
+    ).toDS()
+    val framed = GraphMaterialize.frameByType(ts, "http://schema.org/Event")
+      .as[(String, Int, String, String, Byte, String, String, String)].collect()
+    val roots = framed.map(_._1).toSet
+    assert(roots == Set("http://e/1"), s"only the Event root matches: $roots")
+    val depth0 = framed.filter(_._2 == 0).map(_._4).toSet
+    assert(depth0.contains("http://p/loc"))
+    val depth1 = framed.filter(_._2 == 1).map(r => (r._3, r._6)).toSet
+    assert(depth1 == Set(("http://place/1", "Venue"), ("_:d1.b0", "Band")),
+      s"IRI + bnode neighbors must embed: $depth1")
+  }
+
   test("entity linking resolves hub mentions via broadcast dictionary") {
     val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
     val links = GraphMaterialize.linkEntities(
