@@ -83,6 +83,21 @@ object KgStream {
       .parquet(s"$outDir/quarantine/batch=$batchId")
   }
 
+  /** EVENT-time ingest metrics: pages per host-bucket per warc_ts window
+    * with a watermark — the crawl-time view of ingest progress (a backfill
+    * of year-old pages lands in year-old windows, not "now"). Watermark
+    * semantics at scale: state for a window is dropped once the max seen
+    * warc_ts passes window_end + delay, so unbounded backlog replays keep
+    * bounded state; pages later than the watermark are dropped
+    * deterministically rather than corrupting closed windows. */
+  def ingestByEventTime(pages: DataFrame, delay: String = "1 day",
+                        windowLen: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("partition_key", Lineage.partitionKeyCol)
+      .withWatermark("warc_ts", delay)
+      .groupBy(window(col("warc_ts"), windowLen), col("partition_key"))
+      .agg(count(lit(1)).as("pages"))
+
   /** Windowed ingest metrics (SURVEY.md §2.4 window row, streaming form):
     * triples-per-host-bucket per processing-time window with a watermark —
     * the live-dashboard companion of the per-partition lineage counts. */

@@ -40,6 +40,25 @@ class KgStreamSpec extends AnyFunSuite {
       "restart must not reprocess committed files")
   }
 
+  test("event-time windowed ingest metrics aggregate on warc_ts with a watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("kgevm").toString
+    val pagesDir = s"$dir/pages"
+    PageGen.pages(spark, 300, 42L, partitions = 4).write.parquet(pagesDir)
+    val stream = spark.readStream.schema(KgStream.pageSchema).parquet(pagesDir)
+    val q = KgStream.ingestByEventTime(stream)
+      .writeStream.outputMode("update").format("memory").queryName("evm")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT window.start AS ws, partition_key, pages FROM evm").collect()
+    assert(rows.nonEmpty, "event-time windows must be emitted")
+    assert(rows.map(_.getLong(2)).sum == 300L, "every page lands in exactly one window")
+    // windows are warc_ts-aligned (2023-2024 epoch range), not wall-clock
+    assert(rows.forall(_.getTimestamp(0).getTime < 1750000000000L),
+      "windows must be event-time, not processing-time")
+  }
+
   test("writeBatch replay of the same batchId is idempotent (ADVICE r2)") {
     // crash between the sink write and the checkpoint commit replays the
     // batch; the batchId-scoped overwrite must not duplicate rows
