@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings(vec_id, embedding: array<float>,
   * label)` table. Baseline: brute-force cosine top-k with codegen'd array
@@ -27,6 +28,10 @@ object VectorOps {
   val AnnBands = 8
   val AnnSeed = 7L
 
+  /** HOF reference implementations (kept oracle-gated via q_emb_norm);
+    * the hot paths below use the native codegen expressions in
+    * graft.functions.VectorExpressions, which fold in the same order and
+    * are therefore bit-identical (asserted by VectorExprSpec). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
@@ -35,6 +40,9 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  private def nativeCosine(a: Column, b: Column): Column =
+    GraftFunctions.dot(a, b) / (GraftFunctions.norm(a) * GraftFunctions.norm(b))
 
   /** Canonical vector frame: (vec_id: long, emb: array<double>, label).
     * All LSH/exact phases run on this shape so float->double widening
@@ -65,9 +73,10 @@ object VectorOps {
     * The query is a literal array (constant-folded); on a real cluster a
     * batch of queries becomes a broadcast join instead. */
   def topKCosine(embeddings: DataFrame, query: Array[Float], k: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val emb = transform(col("embedding"), x => x.cast("double"))
-    val guarded = when(size(col("embedding")) === lit(query.length), cosine(emb, q))
+    val guarded = when(size(col("embedding")) === lit(query.length), nativeCosine(emb, q))
       .otherwise(raise_error(concat(lit(s"query dim ${query.length} != embedding dim "),
         size(col("embedding")).cast("string"))))
     embeddings
@@ -130,10 +139,11 @@ object VectorOps {
     val b = sk.select(col("band"), col("key"), col("vec_id").as("b"))
     val cand = a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).dropDuplicates("a", "b")
+    GraftFunctions.register(vectors.sparkSession)
     val va = vectors.select(col("vec_id").as("a"), col("emb").as("ea"))
     val vb = vectors.select(col("vec_id").as("b"), col("emb").as("eb"))
     cand.join(va, Seq("a")).join(vb, Seq("b"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", nativeCosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
@@ -170,6 +180,7 @@ object VectorOps {
                             seed: Long = AnnSeed): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    GraftFunctions.register(spark)
     val probeDf = annProbes(query, planes, bands, seed).toDF("band", "key")
     val candIds = sketch.join(broadcast(probeDf), Seq("band", "key"))
       .select(col("vec_id")).dropDuplicates("vec_id")
@@ -177,7 +188,7 @@ object VectorOps {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     vectors.join(candIds, Seq("vec_id"))
       .select(col("vec_id"), col("label"),
-        (dot(col("emb"), q) / (norm(col("emb")) * lit(qNorm))).as("cos"))
+        (GraftFunctions.dot(col("emb"), q) / (GraftFunctions.norm(col("emb")) * lit(qNorm))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -273,12 +284,13 @@ object VectorOps {
     * joined back by id. */
   def annIvfFromCells(cells: DataFrame, vectors: DataFrame,
                       probedCells: Seq[Int], query: Array[Double], k: Int): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
     val candIds = cells.filter(col("cell").isin(probedCells: _*)).select(col("vec_id"))
     val q = array(query.map(lit): _*)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     vectors.join(candIds, Seq("vec_id"))
       .select(col("vec_id"), col("label"),
-        (dot(col("emb"), q) / (norm(col("emb")) * lit(qNorm))).as("cos"))
+        (GraftFunctions.dot(col("emb"), q) / (GraftFunctions.norm(col("emb")) * lit(qNorm))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
