@@ -48,6 +48,9 @@ object KgRun {
     val pendingPages = pending.drop("partition_key").as[Page]
     val emitted = TripleEmit.emitKeyed(pendingPages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // observe-based metrics (SURVEY §2.4 UDAF/observe row): counts ride
+    // the write pass itself — no second scan, no accumulator races
+    val obs = org.apache.spark.sql.Observation("kg_metrics")
     val triplesKeyed = emitted.filter(col("kind") === 0)
       .select(col("subj"), col("pred"), col("objKind"), col("objValue"),
         col("objDatatype"), col("objLang"), col("graph"), col("partition_key"))
@@ -55,6 +58,8 @@ object KgRun {
       // given page's triples always land in the same partition; global
       // cross-host dedup is a downstream compaction)
       .dropDuplicates()
+      .observe(obs, count(lit(1)).as("triples_written"),
+        sum(when(col("objKind") === 2, 1L).otherwise(0L)).as("literal_triples"))
     Lineage.writeWithLineage(spark, triplesKeyed, pending, triplesPath, manifestPath)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // a re-processed partition that no longer quarantines anything must not
@@ -73,8 +78,13 @@ object KgRun {
       .write.mode(SaveMode.Overwrite).parquet(adjacencyPath)
 
     val nTriples = written.count()
-    val nQuarantine = spark.read.parquet(quarantinePath).count()
-    println(s"""{"job":"kg","status":"done","pages":$nPages,"pending":$nPending,"triples_total":$nTriples,"quarantined":$nQuarantine,"out":"$outDir"}""")
+    // a clean corpus writes an empty quarantine dir (no parquet footers) —
+    // schema inference fails on read-back, which just means 0 rows
+    val nQuarantine =
+      try spark.read.parquet(quarantinePath).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val metrics = obs.get.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"job":"kg","status":"done","pages":$nPages,"pending":$nPending,"triples_total":$nTriples,"quarantined":$nQuarantine,"observed":$metrics,"out":"$outDir"}""")
     spark.stop()
   }
 }

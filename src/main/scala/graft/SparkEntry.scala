@@ -268,6 +268,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("entity"))
     }),
+    // typed-Aggregator UDAF (map-side partial agg, O(1) buffer per group)
+    // — the §2.4 UDAF surface, oracle-checked against plain SQL aggregates
+    "q_kg_stats" -> ((s, dir) => {
+      s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+        .groupBy(col("pred"))
+        .agg(TripleStats.predStats(col("objKind"), col("objValue")).as("st"))
+        .select(col("pred"), col("st.n").as("n"), col("st.literals").as("literals"),
+          col("st.min_obj").as("min_obj"), col("st.max_obj").as("max_obj"))
+        .orderBy(col("pred"))
+    }),
     "q_kg_frame" -> ((s, dir) => {
       import s.implicits._
       val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
@@ -483,6 +493,12 @@ object SparkEntry {
         |  SELECT lower(surface) AS surface, entity
         |  FROM read_parquet('{AUX}/hub_dict/*.parquet')) d USING (surface)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_stats" ->
+      """SELECT pred, count(*) AS n,
+        |  CAST(sum(CASE WHEN objKind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS literals,
+        |  min(objValue) AS min_obj, max(objValue) AS max_obj
+        |FROM read_parquet('{AUX}/triples/*.parquet')
+        |GROUP BY pred ORDER BY pred""".stripMargin,
     // frame = filter + join, re-derived relationally: roots by rdf:type,
     // depth-0 rows via semi-join, depth-1 rows via the object->subject
     // self-join, distinct-merged exactly like the Spark side

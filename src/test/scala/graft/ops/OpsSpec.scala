@@ -6,6 +6,27 @@ import graft.pipeline.SparkTestBase
 
 class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
+
+  test("typed Aggregator predStats: one-pass per-group stats, O(1) buffer") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", 2.toByte, "b"), ("p1", 0.toByte, "a"), ("p2", 2.toByte, "z")
+    ).toDF("pred", "objKind", "objValue")
+    val r = df.groupBy(col("pred"))
+      .agg(TripleStats.predStats(col("objKind"), col("objValue")).as("st"))
+      .select(col("pred"), col("st.n"), col("st.literals"), col("st.min_obj"), col("st.max_obj"))
+      .as[(String, Long, Long, String, String)].collect().toSet
+    assert(r == Set(("p1", 2L, 1L, "a", "b"), ("p2", 1L, 1L, "z", "z")), r)
+  }
+
+  test("observe metrics ride the action, no second scan") {
+    val obs = org.apache.spark.sql.Observation("opsspec_obs")
+    val out = java.nio.file.Files.createTempDirectory("obs").toString
+    spark.range(100).toDF("id")
+      .observe(obs, count(lit(1)).as("rows"), sum(col("id")).as("total"))
+      .write.mode("overwrite").parquet(s"$out/t")
+    assert(obs.get("rows") == 100L && obs.get("total") == 4950L, obs.get)
+  }
   import spark.implicits._
 
   private def docs = Seq(
