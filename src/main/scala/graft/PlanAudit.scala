@@ -31,7 +31,7 @@ object PlanAudit {
       "q_minhash_neardups", "q_jaccard_verify", "q_simhash_neardups",
       "q_ann_topk", "q_ann_bucketed", "q_ann_ivf", "q_cosine_neardups",
       "q_ngram_topk", "q_kg_adjacency", "q_kg_entitylink", "q_kg_flatten",
-      "q_kg_frame", "q_turtle_ingest")
+      "q_kg_frame", "q_kg_stats", "q_turtle_ingest")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

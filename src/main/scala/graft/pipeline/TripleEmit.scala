@@ -42,12 +42,17 @@ object TripleEmit {
     if (value.startsWith("_:")) "_:d" + key + "." + value.substring(2) else value
 
   /** One extracted block → triples (+ optional canonicalized bnode names).
-    * Errors return Left(quarantine) — a bad page must not kill the job. */
+    * Errors return Left(quarantine) — a bad page must not kill the job.
+    * `contextCache` (url -> raw JSON) resolves remote `@context`
+    * references offline (ContextCache — the S1 stand-in); when empty,
+    * any remote context quarantines the document. */
   def docToTriples(doc: ExtractedDoc, normalizeBNodes: Boolean,
-                   baseUri: String): Either[QuarantineRow, Vector[Triple]] = {
+                   baseUri: String,
+                   contextCache: Map[String, String] = Map.empty): Either[QuarantineRow, Vector[Triple]] = {
     try {
       val parsed = Json.parse(doc.payload)
       val opts = JsonLdOptions(base = if (baseUri != null) baseUri else doc.url)
+      if (contextCache.nonEmpty) opts.documentLoader = ContextCache.loader(contextCache)
       val expanded = JsonLdProcessor.expand(parsed, opts)
       val api = new JsonLdApi(expanded, opts)
       val dataset: RdfDataset =
@@ -84,10 +89,11 @@ object TripleEmit {
 
   /** The distributed spine. Quarantined rows are counted via an
     * accumulator; callers wanting the rows use `quarantine`. */
-  def triples(docs: Dataset[ExtractedDoc], normalizeBNodes: Boolean = false): Dataset[Triple] = {
+  def triples(docs: Dataset[ExtractedDoc], normalizeBNodes: Boolean = false,
+              contextCache: Map[String, String] = Map.empty): Dataset[Triple] = {
     import docs.sparkSession.implicits._
     docs.flatMap { doc =>
-      docToTriples(doc, normalizeBNodes, null) match {
+      docToTriples(doc, normalizeBNodes, null, contextCache) match {
         case Right(ts) => ts
         case Left(_)   => Vector.empty[Triple]
       }

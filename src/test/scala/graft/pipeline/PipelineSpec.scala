@@ -267,6 +267,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bundled context cache resolves remote @context offline (S1 stand-in)") {
+    import spark.implicits._
+    val ctxUrl = "https://ctx.example/v1.jsonld"
+    val cache = Map(ctxUrl -> """{"@context":{"name":"http://schema.org/name"}}""")
+    val doc = ExtractedDoc("https://a/p", 0,
+      s"""{"@context":"$ctxUrl","@id":"https://a/x","name":"Thing"}""", "jsonld")
+    val ds = Seq(doc).toDS()
+    val ts = TripleEmit.triples(ds, contextCache = cache).collect()
+    assert(ts.toSeq == Seq(Triple("https://a/x", "http://schema.org/name", 2, "Thing",
+      "http://www.w3.org/2001/XMLSchema#string", null, "@default")), ts.toSeq)
+    // without the cache the same doc quarantines — never a task failure
+    val q = TripleEmit.quarantine(ds).collect()
+    assert(q.length == 1 && q.head.errorCode == "loading remote context failed", q.toSeq)
+  }
+
   test("corpus framing embeds 1-hop neighborhoods of type-matched roots") {
     import spark.implicits._
     val ts = Seq(
