@@ -54,6 +54,16 @@ object Bench {
     // per-query guard mirroring Verify: one runaway query must not zero
     // the round's bench output (round 1: BENCH_r01.json was rc=124)
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong * 1000L
+
+    // session warm-up OUTSIDE the timed region: the alphabetically-first
+    // measured query otherwise absorbs planner/codegen JIT (~5-9 s
+    // observed on q1_agg), misattributing session cost to one query
+    QueryGuard.run(spark, "warmup", timeoutMs) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").count().count()
+      spark.read.parquet(s"$sfDir/documents.parquet").count(): Unit
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       QueryGuard.run(spark, name, timeoutMs) { fn(spark, sfDir).count(): Unit }

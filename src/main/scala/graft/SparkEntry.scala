@@ -123,6 +123,11 @@ object SparkEntry {
         .filter(col("n_docs") >= 1)
         .orderBy(col("fp"))
     }),
+    "q_doc_tokens_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
     "q_doc_quality" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
@@ -381,6 +386,11 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 HAVING count(*) >= 1 ORDER BY fp""".stripMargin,
+    // identical RE2/Java-compatible pretokenizer pattern on both engines
+    "q_doc_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS INTEGER) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_doc_quality" ->
       """SELECT doc_id, round((
         |  least(length(text) / 500.0, 1.0)

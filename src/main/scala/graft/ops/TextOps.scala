@@ -15,9 +15,25 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
-  /** BPE-ish subword count approximation: words + punctuation runs. */
+  /** BPE-ish subword count approximation: words + punctuation runs.
+    * (Lookahead-based split — Java-regex only; prefer [[bpeTokenCount]],
+    * whose pattern is RE2-compatible and therefore oracle-checkable.) */
   def subwordCount(text: Column): Column =
     size(split(text, "(?=[\\p{Punct}])|\\s+"))
+
+  /** GPT-2-style pretokenizer pattern, restricted to constructs shared by
+    * Java regex and RE2 (no lookahead, no \p classes — the corpus is
+    * ASCII): contraction suffixes, space-prefixed letter/digit runs,
+    * space-prefixed punctuation runs, whitespace runs. Every character is
+    * covered by exactly one leftmost-first alternative, so token counts
+    * are engine-independent. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** BPE-ish token count via the pretokenizer regex — the standard
+    * pre-merge token budget estimate for training-data curation. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
   /** Quality score in [0,1]: length band + punctuation ratio + stopword
     * hit rate + uppercase ratio. Deterministic arithmetic reproducible in
