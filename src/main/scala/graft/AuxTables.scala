@@ -29,7 +29,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r3b"
+  private val Version = "r3c"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -62,10 +62,13 @@ object AuxTables {
     GraphMaterialize.hubDictionary(spark)
       .coalesce(1).write.mode("overwrite").parquet(s"$d/hub_dict")
 
-    // 3. simhash signatures of the sf documents table
+    // 3. simhash signatures + minhash near-dup pairs of the sf documents
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     DedupOps.sketches(docs).select("doc_id", "simhash")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/simhash_sigs")
+    DedupOps.minhashNearDups(docs, k = 64, bands = 16, threshold = 0.5)
+      .select("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/neardup_pairs")
 
     // 4. keys-only ANN sketch of the sf embeddings table (build once,
     //    probe many — VectorOps.Ann* constants pin the parameters)

@@ -200,6 +200,13 @@ object SparkEntry {
       DedupOps.simhashNearDupsFromSigs(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/simhash_sigs"), maxHamming = 3)
         .orderBy(col("a"), col("b"))),
+    // near-dup pairs -> dedup clusters: iterative min-label-propagation
+    // connected components over the persisted pair table; the oracle
+    // computes the same components via a recursive transitive closure
+    "q_dedup_components" -> ((s, dir) =>
+      DedupOps.dedupComponents(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/neardup_pairs"))
+        .orderBy(col("id"))),
     "q_jaccard_verify" -> ((s, dir) =>
       DedupOps.verifiedNearDups(t(s, dir, "documents"), jaccardThreshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))
@@ -432,6 +439,14 @@ object SparkEntry {
     "q_jaccard_verify" ->
       (shingleJaccardCte +
         """SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin),
+    "q_dedup_components" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT a AS x, b AS y FROM read_parquet('{AUX}/neardup_pairs/*.parquet')
+        |  UNION SELECT b, a FROM read_parquet('{AUX}/neardup_pairs/*.parquet')),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x ORDER BY id""".stripMargin,
     "q_ann_topk" ->
       s"""SELECT vec_id, label FROM embeddings
          |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annQuerySqlLiteral) DESC, vec_id

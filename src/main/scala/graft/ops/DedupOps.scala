@@ -155,6 +155,42 @@ object DedupOps {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  // ---------------- near-dup cluster resolution ----------------
+
+  /** Connected components over an undirected near-dup pair table
+    * (a, b) via iterative min-label propagation: each round every node
+    * takes the min of its own component label and its neighbors' labels;
+    * converges in O(component diameter) rounds (near-dup clusters are
+    * stars/cliques — diameter 1-2 in practice, `maxIter` is a safety
+    * bound). This is the standard Spark-shaped CC: per-round cost is one
+    * equi-join + one hash agg over 16-byte rows, no driver-side graph.
+    * Output: (id, comp) where comp = min node id in the component — the
+    * canonical "keeper" for dedup resolution (keep rows where id=comp). */
+  def dedupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct().cache()
+    var labels = und.select(col("x").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("y"), col("comp").as("ycomp")), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min(col("ycomp")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .cache()
+      changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   // ---------------- SimHash ----------------
 
   /** SimHash near-dups: 64-bit simhash, banded into 4×16-bit keys; docs

@@ -19,6 +19,15 @@ class OpsSpec extends AnyFunSuite {
     assert(r == Set(("p1", 2L, 1L, "a", "b"), ("p2", 1L, 1L, "z", "z")), r)
   }
 
+  test("dedup components: min-label propagation resolves chains and islands") {
+    import spark.implicits._
+    // chain 1-2-3 (diameter 2: needs >1 propagation round), island 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val comps = DedupOps.dedupComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L), comps)
+  }
+
   test("observe metrics ride the action, no second scan") {
     val obs = org.apache.spark.sql.Observation("opsspec_obs")
     val out = java.nio.file.Files.createTempDirectory("obs").toString
