@@ -29,7 +29,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r3c"
+  private val Version = "r3d"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -38,21 +38,47 @@ object AuxTables {
   val NearDupPlants = 25
   val NearDupIdOffset = 100000L
 
+  /** Size+mtime signature of the sf inputs the aux tables derive from:
+    * regenerated test data under the SAME path must produce a different
+    * aux dir, never silently reuse stale materializations. */
+  private def inputSignature(sfDir: String): String =
+    Seq("documents.parquet", "embeddings.parquet").map { name =>
+      val p = Paths.get(sfDir, name)
+      if (!Files.exists(p)) s"$name:absent"
+      else if (Files.isDirectory(p)) {
+        val kids = Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(Files.isRegularFile(_)).sortBy(_.getFileName.toString)
+        s"$name:${kids.map(Files.size).sum}:${kids.map(Files.getLastModifiedTime(_).toMillis).foldLeft(0L)(_ max _)}"
+      } else s"$name:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    }.mkString(";")
+
   def dir(sfDir: String): String = {
+    val key = sfDir + "|" + inputSignature(sfDir)
     val h = graft.ops.TextHash.mix64(
-      graft.ops.TextHash.fnv1a64(sfDir, 0, sfDir.length))
+      graft.ops.TextHash.fnv1a64(key, 0, key.length))
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     s"$tmp/graft-aux-$Version-${java.lang.Long.toUnsignedString(h, 36)}"
   }
 
-  /** Materialize (once) and return the aux dir for `sfDir`. Idempotent:
-    * a _READY marker short-circuits; a half-built dir (no marker) is
-    * rebuilt from scratch. */
+  private def deleteRecursive(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
+  /** Materialize (once) and return the aux dir for `sfDir`. Idempotent
+    * and crash/race-safe: everything is built into a process-private
+    * staging dir, the _READY marker is written there, and the whole dir
+    * is published with one atomic rename — readers either see a complete
+    * marked dir or nothing. If another process publishes first, this
+    * build is discarded in favor of the published one. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    val d = dir(sfDir)
-    val ready = Paths.get(d, "_READY")
-    if (Files.exists(ready)) return d
+    val target = dir(sfDir)
+    if (Files.exists(Paths.get(target, "_READY"))) return target
     val t0 = System.nanoTime()
+    val d = target + ".build-" + ProcessHandle.current().pid()
+    deleteRecursive(d)
 
     // 1. triples: the seeded KG corpus through the full pipeline
     val triples = TripleEmit.pipeline(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8))
@@ -94,8 +120,19 @@ object AuxTables {
       .coalesce(1).write.mode("overwrite").parquet(s"$d/media")
 
     Files.createDirectories(Paths.get(d))
-    Files.write(ready, Array.emptyByteArray)
-    System.err.println(f"[aux] materialized $d in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-    d
+    Files.write(Paths.get(d, "_READY"), Array.emptyByteArray)
+    // publish atomically; a marker-less leftover target (crashed build
+    // from an older code version) is cleared first
+    if (Files.exists(Paths.get(target)) && !Files.exists(Paths.get(target, "_READY")))
+      deleteRecursive(target)
+    try Files.move(Paths.get(d), Paths.get(target),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        // another process published first — use theirs, drop ours
+        deleteRecursive(d)
+    }
+    System.err.println(f"[aux] materialized $target in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    target
   }
 }

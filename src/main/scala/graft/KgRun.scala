@@ -60,12 +60,12 @@ object KgRun {
       .dropDuplicates()
       .observe(obs, count(lit(1)).as("triples_written"),
         sum(when(col("objKind") === 2, 1L).otherwise(0L)).as("literal_triples"))
-    Lineage.writeWithLineage(spark, triplesKeyed, pending, triplesPath, manifestPath)
+    val runKeys =
+      Lineage.writeWithLineage(spark, triplesKeyed, pending, triplesPath, manifestPath)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // a re-processed partition that no longer quarantines anything must not
-    // keep its old quarantine rows (ADVICE.md r2) — delete before overwrite
-    val runKeys = pending.select(col("partition_key")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // keep its old quarantine rows (ADVICE.md r2) — delete before overwrite,
+    // reusing the key set writeWithLineage already collected
     Lineage.deletePartitions(spark, quarantinePath, runKeys)
     emitted.filter(col("kind") === 1)
       .select(col("url"), col("block_idx"), col("errorCode"), col("errorDetail"),

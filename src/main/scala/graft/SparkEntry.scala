@@ -230,10 +230,13 @@ object SparkEntry {
     // candidates; the oracle reads the same cell + probed-cell tables
     "q_ann_ivf" -> ((s, dir) => {
       val aux = AuxTables.ensure(s, dir)
-      val vecs = VectorOps.asVectors(t(s, dir, "embeddings"))
-      val probed = VectorOps.ivfProbeCells(annQuery.map(_.toDouble),
-        VectorOps.ivfCentroids(vecs))
-      VectorOps.annIvfFromCells(s.read.parquet(s"$aux/ivf_cells"), vecs,
+      // probe list read from the persisted index artifacts — build once,
+      // probe many; recomputing centroids here would charge a full
+      // embeddings scan-sort-collect to every probe (review r3)
+      val probed = s.read.parquet(s"$aux/ivf_probed")
+        .collect().map(_.getInt(0)).toSeq
+      VectorOps.annIvfFromCells(s.read.parquet(s"$aux/ivf_cells"),
+        VectorOps.asVectors(t(s, dir, "embeddings")),
         probed, annQuery.map(_.toDouble), k = 20)
         .select(col("vec_id"), col("label"))
     }),

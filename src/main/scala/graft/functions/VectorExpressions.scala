@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * array, no lambda dispatch, fully inside WholeStageCodegen.
   *
   * Fold order matches the HOF version (index 0..n-1, + in sequence), so
-  * results are bit-identical and every DuckDB oracle stays valid.
+  * results are bit-identical and every DuckDB oracle stays valid. Null
+  * semantics also match the HOF formulation: a length mismatch (zip_with
+  * null-pads the shorter side) or a null array element yields NULL — a
+  * corrupted row must surface as NULL, not as a plausible partial sum.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,15 +38,21 @@ case class DotProduct(left: Expression, right: Expression)
         s"graft_dot requires two array<double> arguments, got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -51,11 +60,21 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })
@@ -76,6 +95,7 @@ case class L2Norm(child: Expression)
         s"graft_norm requires an array<double> argument, got $t")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_norm"
 
   override def nullSafeEval(a: Any): Any = {
@@ -83,7 +103,12 @@ case class L2Norm(child: Expression)
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i)
+      s += v * v
+      i += 1
+    }
     math.sqrt(s)
   }
 
@@ -96,11 +121,15 @@ case class L2Norm(child: Expression)
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = $a.getDouble($i);
-         |  $s += $v * $v;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $v = $a.getDouble($i);
+         |    $s += $v * $v;
+         |  }
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
 

@@ -165,7 +165,12 @@ object DedupOps {
     * bound). This is the standard Spark-shaped CC: per-round cost is one
     * equi-join + one hash agg over 16-byte rows, no driver-side graph.
     * Output: (id, comp) where comp = min node id in the component — the
-    * canonical "keeper" for dedup resolution (keep rows where id=comp). */
+    * canonical "keeper" for dedup resolution (keep rows where id=comp).
+    * The returned frame is cached (it was just materialized by the
+    * convergence check); callers unpersist it when done. Fails loudly if
+    * labels have not converged within `maxIter` rounds — silently
+    * returning partial components would disagree with the transitive
+    * closure the oracle computes. */
   def dedupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val und = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
@@ -188,6 +193,10 @@ object DedupOps {
       i += 1
     }
     und.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds the bound; raise maxIter")
     labels
   }
 

@@ -102,9 +102,11 @@ object Lineage {
     * carry a `partition_key` column (TripleEmit.emitKeyed provides it).
     * Crash between delete and publish leaves the partition pending in the
     * manifest (old fingerprint), so the next run re-processes it —
-    * write-audit-publish semantics are preserved. */
+    * write-audit-publish semantics are preserved. Returns this run's
+    * partition keys so callers (KgRun's quarantine sink) can supersede
+    * their own sinks without re-collecting. */
   def writeWithLineage(spark: SparkSession, triplesKeyed: DataFrame, pagesKeyed: DataFrame,
-                       outPath: String, manifestPath: String): Unit = {
+                       outPath: String, manifestPath: String): Seq[String] = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // the key list is bounded by the bucket count (64)
     val runKeys = pagesKeyed.select(col("partition_key")).distinct()
@@ -127,5 +129,6 @@ object Lineage {
       .withColumn("updated_at", lit(now))
     manifest.write.mode(SaveMode.Overwrite)
       .partitionBy("partition_key").parquet(manifestPath)
+    runKeys
   }
 }

@@ -38,7 +38,7 @@ object TripleEmit {
     java.lang.Long.toUnsignedString(k1, 36) + "x" + java.lang.Long.toUnsignedString(k2, 36)
   }
 
-  private def prefixBnode(value: String, key: String): String =
+  private[pipeline] def prefixBnode(value: String, key: String): String =
     if (value.startsWith("_:")) "_:d" + key + "." + value.substring(2) else value
 
   /** One extracted block → triples (+ optional canonicalized bnode names).
@@ -100,10 +100,11 @@ object TripleEmit {
     }
   }
 
-  def quarantine(docs: Dataset[ExtractedDoc]): Dataset[QuarantineRow] = {
+  def quarantine(docs: Dataset[ExtractedDoc],
+                 contextCache: Map[String, String] = Map.empty): Dataset[QuarantineRow] = {
     import docs.sparkSession.implicits._
     docs.flatMap { doc =>
-      docToTriples(doc, normalizeBNodes = false, null) match {
+      docToTriples(doc, normalizeBNodes = false, null, contextCache) match {
         case Left(q) => Some(q)
         case _       => None
       }
@@ -123,11 +124,13 @@ object TripleEmit {
     * typed transforms would pay an encoder round-trip (serialize +
     * deserialize of the ~2KB html rows) at every boundary. The only
     * shuffle left is the dedup hash-aggregate. */
-  def pipeline(pages: Dataset[Page], normalizeBNodes: Boolean = false): Dataset[Triple] =
-    dedup(triplesFused(pages, normalizeBNodes))
+  def pipeline(pages: Dataset[Page], normalizeBNodes: Boolean = false,
+               contextCache: Map[String, String] = Map.empty): Dataset[Triple] =
+    dedup(triplesFused(pages, normalizeBNodes, contextCache))
 
   /** The fused narrow stage without the dedup shuffle. */
-  def triplesFused(pages: Dataset[Page], normalizeBNodes: Boolean = false): Dataset[Triple] = {
+  def triplesFused(pages: Dataset[Page], normalizeBNodes: Boolean = false,
+                   contextCache: Map[String, String] = Map.empty): Dataset[Triple] = {
     import pages.sparkSession.implicits._
     val ts = pages.flatMap { page =>
       val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
@@ -137,7 +140,7 @@ object TripleEmit {
         blocks.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, i, p, "jsonld") } ++
           micro.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, blocks.size + i, p, "microdata") }
       docs.flatMap { doc =>
-        docToTriples(doc, normalizeBNodes, null) match {
+        docToTriples(doc, normalizeBNodes, null, contextCache) match {
           case Right(t) => t
           case Left(_)  => Vector.empty[Triple]
         }
@@ -150,7 +153,8 @@ object TripleEmit {
     * stage, but every output row carries the page's lineage partition key
     * and quarantine rows ride along as kind=1 instead of being recomputed
     * in a second full pass (VERDICT.md #7 / round-1 KgRun). */
-  def emitKeyed(pages: Dataset[Page], normalizeBNodes: Boolean = false): Dataset[EmitRow] = {
+  def emitKeyed(pages: Dataset[Page], normalizeBNodes: Boolean = false,
+                contextCache: Map[String, String] = Map.empty): Dataset[EmitRow] = {
     import pages.sparkSession.implicits._
     pages.flatMap { page =>
       val key = Lineage.hostBucket(page.url)
@@ -161,7 +165,7 @@ object TripleEmit {
         blocks.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, i, p, "jsonld") } ++
           micro.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, blocks.size + i, p, "microdata") }
       docs.flatMap { doc =>
-        docToTriples(doc, normalizeBNodes, null) match {
+        docToTriples(doc, normalizeBNodes, null, contextCache) match {
           case Right(ts) => ts.map(t => EmitRow(key, 0, t.subj, t.pred, t.objKind,
             t.objValue, t.objDatatype, t.objLang, t.graph, null, -1, null, null))
           case Left(q) => Vector(EmitRow(key, 1, null, null, 0, null, null, null, null,

@@ -26,8 +26,7 @@ object TurtleIngest {
     try {
       val ds = Turtle.parse(turtle)
       val key = TripleEmit.docKey(docId, 0)
-      def pfx(v: String): String =
-        if (v.startsWith("_:")) "_:d" + key + "." + v.substring(2) else v
+      def pfx(v: String): String = TripleEmit.prefixBnode(v, key)
       val out = Vector.newBuilder[Triple]
       ds.getQuads("@default").foreach { q =>
         val okind: Byte =
