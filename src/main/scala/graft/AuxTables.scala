@@ -46,8 +46,11 @@ object AuxTables {
       val p = Paths.get(sfDir, name)
       if (!Files.exists(p)) s"$name:absent"
       else if (Files.isDirectory(p)) {
-        val kids = Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .filter(Files.isRegularFile(_)).sortBy(_.getFileName.toString)
+        val st = Files.list(p)
+        val kids =
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(Files.isRegularFile(_)).sortBy(_.getFileName.toString)
+          finally st.close()
         s"$name:${kids.map(Files.size).sum}:${kids.map(Files.getLastModifiedTime(_).toMillis).foldLeft(0L)(_ max _)}"
       } else s"$name:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
     }.mkString(";")
@@ -62,9 +65,12 @@ object AuxTables {
 
   private def deleteRecursive(path: String): Unit = {
     val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally st.close()
+    }
   }
 
   /** Materialize (once) and return the aux dir for `sfDir`. Idempotent
