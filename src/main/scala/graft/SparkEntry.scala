@@ -283,6 +283,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("entity"))
     }),
+    // newest-observation pick (window row_number over (s,p,o) by warc_ts):
+    // the corpus is doubled with literal triples re-observed 5000s later
+    // via a hash-free epoch both engines derive identically from lengths
+    "q_kg_newest" -> ((s, dir) => {
+      val base = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+        .withColumn("warc_ts",
+          (lit(1700000000L) + length(col("objValue")) * 1000L + length(col("subj"))).cast("long"))
+      val reobserved = base.filter(col("objKind") === 2)
+        .withColumn("warc_ts", col("warc_ts") + 5000L)
+      GraphMaterialize.newestObservation(base.unionByName(reobserved))
+        .select(col("subj"), col("pred"), col("objKind"), col("objValue"), col("warc_ts"))
+        .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"), col("warc_ts"))
+    }),
+    // deterministic subject canonicalization: linked subjects rewrite to
+    // min(entity); counts per canonical subject are SQL-recomputable
+    "q_kg_canonicalize" -> ((s, dir) => {
+      import s.implicits._
+      val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
+      val links = GraphMaterialize.linkEntities(
+        GraphMaterialize.mentions(triples), GraphMaterialize.hubDictionary(s))
+      GraphMaterialize.canonicalizeSubjects(triples, links)
+        .groupBy(col("subj_canon")).agg(count(lit(1)).as("n"))
+        .orderBy(col("subj_canon"))
+    }),
     // typed-Aggregator UDAF (map-side partial agg, O(1) buffer per group)
     // — the §2.4 UDAF surface, oracle-checked against plain SQL aggregates
     "q_kg_stats" -> ((s, dir) => {
@@ -520,6 +544,38 @@ object SparkEntry {
         |LEFT JOIN (
         |  SELECT lower(surface) AS surface, entity
         |  FROM read_parquet('{AUX}/hub_dict/*.parquet')) d USING (surface)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_newest" ->
+      """WITH base AS (
+        |  SELECT subj, pred, objKind, objValue, graph,
+        |    1700000000 + length(objValue) * 1000 + length(subj) AS warc_ts
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |obs AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT subj, pred, objKind, objValue, graph, warc_ts + 5000 FROM base WHERE objKind = 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY subj, pred, objValue ORDER BY warc_ts DESC) AS rn
+        |  FROM obs)
+        |SELECT subj, pred, objKind, objValue, CAST(warc_ts AS BIGINT) AS warc_ts
+        |FROM ranked WHERE rn = 1
+        |ORDER BY subj, pred, objKind, objValue, warc_ts""".stripMargin,
+    "q_kg_canonicalize" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objKind, objValue FROM read_parquet('{AUX}/triples/*.parquet')),
+        |m AS (
+        |  SELECT subj, lower(objValue) AS surface FROM tr
+        |  WHERE objKind = 2 AND pred IN (
+        |    'http://schema.org/name', 'http://xmlns.com/foaf/0.1/name',
+        |    'http://schema.org/brand', 'http://purl.org/dc/elements/1.1/title')),
+        |lm AS (
+        |  SELECT m.subj, min(d.entity) AS entity FROM m
+        |  JOIN (SELECT lower(surface) AS surface, entity
+        |        FROM read_parquet('{AUX}/hub_dict/*.parquet')) d USING (surface)
+        |  GROUP BY m.subj)
+        |SELECT coalesce(lm.entity, tr.subj) AS subj_canon, count(*) AS n
+        |FROM tr LEFT JOIN lm ON tr.subj = lm.subj
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kg_stats" ->
       """SELECT pred, count(*) AS n,

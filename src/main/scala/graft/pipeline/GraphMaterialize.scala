@@ -73,10 +73,13 @@ object GraphMaterialize {
   }
 
   /** Canonicalize subject IRIs via linked entities: rewrite subj -> entity
-    * where a link exists (left join + coalesce; broadcastable dict). */
+    * where a link exists (left join + coalesce; broadcastable dict). A
+    * subject with several linked surfaces resolves to min(entity) — a
+    * DETERMINISTIC pick (dropDuplicates kept an arbitrary row, which
+    * breaks re-run reproducibility and any SQL oracle). */
   def canonicalizeSubjects(triples: Dataset[Triple], links: DataFrame): DataFrame = {
     val linkMap = links.filter(col("entity").isNotNull)
-      .select(col("subj"), col("entity")).dropDuplicates("subj")
+      .groupBy(col("subj")).agg(min(col("entity")).as("entity"))
     triples.join(broadcast(linkMap), Seq("subj"), "left")
       .withColumn("subj_canon", coalesce(col("entity"), col("subj")))
       .drop("entity")
