@@ -60,17 +60,20 @@ object KgRun {
       .dropDuplicates()
       .observe(obs, count(lit(1)).as("triples_written"),
         sum(when(col("objKind") === 2, 1L).otherwise(0L)).as("literal_triples"))
-    val runKeys =
-      Lineage.writeWithLineage(spark, triplesKeyed, pending, triplesPath, manifestPath)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // a re-processed partition that no longer quarantines anything must not
-    // keep its old quarantine rows (ADVICE.md r2) — delete before overwrite,
-    // reusing the key set writeWithLineage already collected
-    Lineage.deletePartitions(spark, quarantinePath, runKeys)
-    emitted.filter(col("kind") === 1)
-      .select(col("url"), col("block_idx"), col("errorCode"), col("errorDetail"),
-        col("partition_key"))
-      .write.mode(SaveMode.Overwrite).partitionBy("partition_key").parquet(quarantinePath)
+    // the quarantine sink writes INSIDE the write-audit-publish window
+    // (before the manifest publish): a crash mid-quarantine-write leaves
+    // the partition pending, so the next run fully re-processes it —
+    // writing after publish permanently lost those rows (ADVICE r3). A
+    // re-processed partition that no longer quarantines anything must not
+    // keep its old rows either (ADVICE r2) — delete before overwrite.
+    Lineage.writeWithLineage(spark, triplesKeyed, pending, triplesPath, manifestPath,
+      beforePublish = runKeys => {
+        Lineage.deletePartitions(spark, quarantinePath, runKeys)
+        emitted.filter(col("kind") === 1)
+          .select(col("url"), col("block_idx"), col("errorCode"), col("errorDetail"),
+            col("partition_key"))
+          .write.mode(SaveMode.Overwrite).partitionBy("partition_key").parquet(quarantinePath)
+      })
     emitted.unpersist()
 
     val written = spark.read.parquet(triplesPath)

@@ -151,8 +151,11 @@ object SparkEntry {
       // recovered by a SECOND narrow scan semi-joined against the tiny
       // broadcast candidate-hash set (count >= the 20th-largest count, so
       // boundary ties survive) — at 100 TB a rescan is cheaper than an
-      // all-strings exchange. 64-bit collisions could merge two shingles'
-      // counts (~1e-6 odds at 5M distinct; deterministic per corpus).
+      // all-strings exchange. A 64-bit collision (~1e-6 odds at 5M
+      // distinct) would silently merge two shingles' counts, so the
+      // recovery scan asserts one distinct ngram per candidate hash and
+      // raises instead of corrupting the top-k (ADVICE r3) — cheap, the
+      // candidate set is ~k rows.
       val w = col("w")
       val shingles = transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
@@ -165,9 +168,18 @@ object SparkEntry {
       val kth = counts.orderBy(col("n").desc).limit(20).agg(min(col("n")).as("kth"))
       val cand = counts.crossJoin(broadcast(kth))
         .filter(col("n") >= col("kth")).select(col("h"), col("n"))
-      exploded.withColumn("h", xxhash64(col("ngram")))
+      val recovered = exploded.withColumn("h", xxhash64(col("ngram")))
         .join(broadcast(cand), Seq("h"))
-        .select(col("ngram"), col("n")).dropDuplicates("ngram")
+        .select(col("h"), col("ngram"), col("n")).dropDuplicates("h", "ngram")
+      val perHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      recovered
+        .withColumn("n_strings", count(lit(1)).over(perHash))
+        .select(
+          when(col("n_strings") > 1,
+            raise_error(concat(lit("xxhash64 collision on ngram hash "),
+              col("h").cast("string"), lit(" — counts were merged"))))
+            .otherwise(col("ngram")).as("ngram"),
+          col("n"))
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)
     }),

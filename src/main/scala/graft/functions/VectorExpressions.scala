@@ -149,14 +149,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** Arity guard (ADVICE r3): a SQL call like `graft_dot(a)` must fail as
+    * an analysis error naming the function and its signature, not as an
+    * IndexOutOfBoundsException escaping the registry builder. */
+  private def requireArity(name: String, signature: String,
+                           children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> s"$n ($signature)",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private[functions] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        requireArity("graft_dot", "array<double>, array<double>", children, 2)
+        DotProduct(children(0), children(1))
+      }),
     (FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
-      (children: Seq[Expression]) => L2Norm(children(0))))
+      (children: Seq[Expression]) => {
+        requireArity("graft_norm", "array<double>", children, 1)
+        L2Norm(children(0))
+      }))
 
   /** Idempotent per-session registration into the function registry. */
   def register(spark: SparkSession): Unit = {

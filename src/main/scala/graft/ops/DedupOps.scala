@@ -166,38 +166,46 @@ object DedupOps {
     * equi-join + one hash agg over 16-byte rows, no driver-side graph.
     * Output: (id, comp) where comp = min node id in the component — the
     * canonical "keeper" for dedup resolution (keep rows where id=comp).
-    * The returned frame is cached (it was just materialized by the
-    * convergence check); callers unpersist it when done. Fails loudly if
-    * labels have not converged within `maxIter` rounds — silently
-    * returning partial components would disagree with the transitive
-    * closure the oracle computes. */
+    * The returned frame is locally checkpointed (lineage truncated — the
+    * iterative join chain never recomputes) and carries NO named cache
+    * entry, so driver-run queries don't accumulate cached partitions; the
+    * checkpoint blocks are reclaimed by the ContextCleaner once the frame
+    * is unreferenced (ADVICE r3: the returned cache leaked in every
+    * Verify/Bench run, and the error path leaked the last round's cache).
+    * Fails loudly if labels have not converged within `maxIter` rounds —
+    * silently returning partial components would disagree with the
+    * transitive closure the oracle computes. */
   def dedupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val und = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .distinct().cache()
     var labels = und.select(col("x").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = und
-        .join(labels.select(col("id").as("y"), col("comp").as("ycomp")), Seq("y"))
-        .groupBy(col("x").as("id")).agg(min(col("ycomp")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .cache()
-      changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
+    try {
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val nbrMin = und
+          .join(labels.select(col("id").as("y"), col("comp").as("ycomp")), Seq("y"))
+          .groupBy(col("x").as("id")).agg(min(col("ycomp")).as("nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+          .cache()
+        changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+          .filter(col("comp") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dedupComponents did not converge in $maxIter rounds " +
+            s"($changed labels still changing) — component diameter exceeds the bound; raise maxIter")
+      labels.localCheckpoint(true)
+    } finally {
+      und.unpersist()
       labels.unpersist()
-      labels = next
-      i += 1
     }
-    und.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"dedupComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — component diameter exceeds the bound; raise maxIter")
-    labels
   }
 
   // ---------------- SimHash ----------------

@@ -103,10 +103,16 @@ object Lineage {
     * Crash between delete and publish leaves the partition pending in the
     * manifest (old fingerprint), so the next run re-processes it —
     * write-audit-publish semantics are preserved. Returns this run's
-    * partition keys so callers (KgRun's quarantine sink) can supersede
-    * their own sinks without re-collecting. */
+    * partition keys so callers can reuse them without re-collecting.
+    *
+    * `beforePublish` runs with this run's keys AFTER the data write+audit
+    * but BEFORE the manifest publish: auxiliary sinks (KgRun's quarantine
+    * table) write there so a crash anywhere before publish leaves the
+    * partition pending and fully re-processed — writing them after the
+    * publish permanently lost a crashed run's quarantine rows (ADVICE r3). */
   def writeWithLineage(spark: SparkSession, triplesKeyed: DataFrame, pagesKeyed: DataFrame,
-                       outPath: String, manifestPath: String): Seq[String] = {
+                       outPath: String, manifestPath: String,
+                       beforePublish: Seq[String] => Unit = _ => ()): Seq[String] = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // the key list is bounded by the bucket count (64)
     val runKeys = pagesKeyed.select(col("partition_key")).distinct()
@@ -120,6 +126,7 @@ object Lineage {
       .filter(col("partition_key").isin(runKeys: _*))
       .groupBy(col("partition_key").cast("string").as("partition_key"))
       .agg(count(lit(1)).as("triple_count"))
+    beforePublish(runKeys)
     val now = new Timestamp(System.currentTimeMillis())
     val manifest = fingerprint(pagesKeyed, "partition_key")
       .join(writtenCounts, Seq("partition_key"), "left")
