@@ -29,7 +29,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r3d"
+  private val Version = "r4a"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -90,9 +90,12 @@ object AuxTables {
     val triples = TripleEmit.pipeline(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8))
     triples.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/triples")
 
-    // 2. hub dictionary (surface -> canonical entity IRI)
+    // 2. hub dictionary (surface -> canonical entity IRI) and the large
+    //    corpus-aligned dictionary for the cold-tail link path
     GraphMaterialize.hubDictionary(spark)
       .coalesce(1).write.mode("overwrite").parquet(s"$d/hub_dict")
+    GraphMaterialize.bigDictionary(spark)
+      .coalesce(4).write.mode("overwrite").parquet(s"$d/big_dict")
 
     // 3. simhash signatures + minhash near-dup pairs of the sf documents
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

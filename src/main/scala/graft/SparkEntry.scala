@@ -295,6 +295,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("entity"))
     }),
+    // entity linking through the SCALABLE path (hot-head broadcast +
+    // salted sort-merge cold tail) against the deliberately large
+    // corpus-aligned dictionary — the oracle recomputes the same
+    // lower/join/count from the persisted big_dict parquet, and
+    // EntityLinkSpec pins the SMJ-on-salted-key plan shape
+    "q_kg_entitylink_cold" -> ((s, dir) => {
+      import s.implicits._
+      val aux = AuxTables.ensure(s, dir)
+      val triples = s.read.parquet(s"$aux/triples").as[Triple]
+      val links = GraphMaterialize.linkEntitiesScalable(
+        GraphMaterialize.mentions(triples),
+        s.read.parquet(s"$aux/big_dict"), hotMentionCount = 8L, salt = 8)
+      links.groupBy(coalesce(col("entity"), lit("(unlinked)")).as("entity"))
+        .agg(count(lit(1)).as("n_mentions"))
+        .orderBy(col("entity"))
+    }),
     // newest-observation pick (window row_number over (s,p,o) by warc_ts):
     // the corpus is doubled with literal triples re-observed 5000s later
     // via a hash-free epoch both engines derive identically from lengths
@@ -556,6 +572,18 @@ object SparkEntry {
         |LEFT JOIN (
         |  SELECT lower(surface) AS surface, entity
         |  FROM read_parquet('{AUX}/hub_dict/*.parquet')) d USING (surface)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_entitylink_cold" ->
+      """SELECT coalesce(entity, '(unlinked)') AS entity, count(*) AS n_mentions
+        |FROM (
+        |  SELECT lower(objValue) AS surface
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE objKind = 2 AND pred IN (
+        |    'http://schema.org/name', 'http://xmlns.com/foaf/0.1/name',
+        |    'http://schema.org/brand', 'http://purl.org/dc/elements/1.1/title')) m
+        |LEFT JOIN (
+        |  SELECT lower(surface) AS surface, entity
+        |  FROM read_parquet('{AUX}/big_dict/*.parquet')) d USING (surface)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kg_newest" ->
       """WITH base AS (

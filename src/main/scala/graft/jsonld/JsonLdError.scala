@@ -52,6 +52,11 @@ object JsonLdError {
   val SyntaxError                 = Code("syntax error")
   val NotImplemented              = Code("not implemnted") // sic, matches reference
   val UnknownFormat               = Code("unknown format")
+  /** Not in the reference (which will happily hang on an adversarial
+    * blank-node clique): raised when the SJT permutation search exceeds
+    * JsonLdOptions.normalizeBudget steps, so the pipeline quarantines the
+    * document instead of wedging a task (SURVEY.md §4.3 blow-up guard). */
+  val NormalizeBudgetExceeded     = Code("normalization budget exceeded")
   val InvalidInput                = Code("invalid input")
   val ParseError                  = Code("parse error")
   val UnknownError                = Code("unknown error")
@@ -74,6 +79,14 @@ final case class JsonLdOptions(
     var format: String = null,
     var useNamespaces: Boolean = false,
     var outputForm: String = null,
+    /** Work budget for normalization's permutation search, in SJT steps
+      * per document (not in the reference — SURVEY.md §4.3 / §7.4 risk 3:
+      * a symmetric blank-node clique makes the search exponential and
+      * would wedge an executor task for hours). Exceeding it raises
+      * [[JsonLdError.NormalizeBudgetExceeded]], which the pipeline's
+      * quarantine routing catches per document. All 57 W3C normalize
+      * cases complete in well under 10k steps; <= 0 disables the guard. */
+    var normalizeBudget: Long = 1000000L,
     /** Zero-egress stand-in for the reference's HTTP DocumentLoader
       * (SURVEY.md §2.1 S1): url -> parsed JSON document. Defaults to a
       * loader that always fails (as any network fetch would here); callers

@@ -41,6 +41,21 @@ final class NormalizeUtils(quads: ArrayBuffer[RdfQuad],
                            options: JsonLdOptions) {
   import NormalizeUtils._
 
+  /** SJT permutation steps consumed so far, across every hashPaths
+    * recursion of this normalize run. The reference has no such guard
+    * (Core/NormalizeUtils.cs:242-458 searches unboundedly); without it an
+    * adversarial symmetric bnode clique is exponential and wedges the
+    * executor task that drew the document (SURVEY.md §4.3). */
+  private var permutationSteps = 0L
+
+  private def chargePermutation(): Unit = {
+    permutationSteps += 1
+    val budget = options.normalizeBudget
+    if (budget > 0 && permutationSteps > budget)
+      throw new JsonLdError(JsonLdError.NormalizeBudgetExceeded,
+        s"$budget permutation steps")
+  }
+
   /** Fixpoint hashing + duplicate-group path hashing, then rename, sort
     * lines, concat (Core/NormalizeUtils.cs:30-205). Returns Left(nquads)
     * when options.format == application/nquads, else Right(re-parsed). */
@@ -176,6 +191,7 @@ final class NormalizeUtils(quads: ArrayBuffer[RdfQuad],
       var breakOut = false
       while (!breakOut) {
         var contPermutation = false
+        chargePermutation()
         val permutation = permutator.next()
         var pathNamerCopy = pathNamer.copy()
         var path = ""

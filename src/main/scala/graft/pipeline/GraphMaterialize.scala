@@ -57,19 +57,54 @@ object GraphMaterialize {
           "http://schema.org/brand", "http://purl.org/dc/elements/1.1/title"))
       .select(lower(col("objValue")).as("surface"), col("subj"), col("pred"))
 
-  /** Entity linking against a dictionary (surface -> canonical IRI).
-    *
-    * Hot head: the dictionary is small (hub entities) → broadcast hash
-    * join, zero shuffle of the big side. Cold tail would be a sort-merge
-    * join; skewed surfaces are salted with `pmod(hash(subj), SALT)` so a
-    * hub surface spreads over SALT reducers (SURVEY.md §2.4 joins row).
-    */
-  def linkEntities(mentionsDf: DataFrame, dictionary: DataFrame, salt: Int = 16): DataFrame = {
+  /** Entity linking against a BROADCASTABLE dictionary (surface ->
+    * canonical IRI): one broadcast hash join, zero shuffle of the fact
+    * side. Correct only while the dictionary fits in a broadcast — the
+    * general path is [[linkEntitiesScalable]]. */
+  def linkEntities(mentionsDf: DataFrame, dictionary: DataFrame): DataFrame = {
     val dict = dictionary.select(lower(col("surface")).as("surface"), col("entity"))
-    // explicit broadcast of the dimension side
-    val hot = mentionsDf.join(broadcast(dict), Seq("surface"), "left")
-    hot.select(col("subj"), col("surface"), col("entity"),
-      pmod(hash(col("subj")), lit(salt)).as("salt_bucket"))
+    mentionsDf.join(broadcast(dict), Seq("surface"), "left")
+      .select(col("subj"), col("surface"), col("entity"))
+  }
+
+  /** Entity linking that survives a NON-broadcastable dictionary — the
+    * north rule's mention→entity join at 10⁷–10⁸ dictionary surfaces
+    * (VERDICT r3 #1: the broadcast-only join was the last plan that dies
+    * at 100×). The dictionary is split by MENTION frequency:
+    *
+    *  - hot head: surfaces with ≥ `hotMentionCount` mentions. There are at
+    *    most total_mentions/hotMentionCount of them — broadcastable by
+    *    construction when the threshold scales with the corpus — and they
+    *    are exactly the skewed join keys, so they take the zero-shuffle
+    *    broadcast hash join and never touch a shuffle reducer.
+    *  - cold tail: everything else goes through a salted sort-merge join —
+    *    the fact side salts with `pmod(hash(subj), salt)` so any residual
+    *    heavy surface spreads over `salt` reducers, the dictionary side is
+    *    exploded ×salt (ids+strings only, no payload), and the `merge`
+    *    hint pins the SMJ the 100 TB plan needs (AQE skew-split still
+    *    applies on top at runtime).
+    *
+    * Semantics are identical to a plain left join: hot mentions can only
+    * match hot-head entries and cold mentions only tail entries, so the
+    * union of the two joins is exactly the full join (EntityLinkSpec
+    * asserts equality against [[linkEntities]] row-for-row). */
+  def linkEntitiesScalable(mentionsDf: DataFrame, dictionary: DataFrame,
+                           hotMentionCount: Long = 1000L, salt: Int = 8): DataFrame = {
+    val dict = dictionary.select(lower(col("surface")).as("surface"), col("entity"))
+    val m = mentionsDf.select(col("surface"), col("subj"))
+    val hotSurfaces = m.groupBy(col("surface")).agg(count(lit(1)).as("n_m"))
+      .filter(col("n_m") >= hotMentionCount).select(col("surface"))
+    val hotLinked = m.join(broadcast(hotSurfaces), Seq("surface"), "left_semi")
+      .join(broadcast(dict.join(broadcast(hotSurfaces), Seq("surface"), "left_semi")),
+        Seq("surface"), "left")
+    val saltedMentions = m.join(broadcast(hotSurfaces), Seq("surface"), "left_anti")
+      .withColumn("salt_b", pmod(hash(col("subj")), lit(salt)))
+    val saltedDict = dict.join(broadcast(hotSurfaces), Seq("surface"), "left_anti")
+      .withColumn("salt_b", explode(array((0 until salt).map(lit): _*)))
+      .hint("merge")
+    val coldLinked = saltedMentions.join(saltedDict, Seq("surface", "salt_b"), "left")
+      .drop("salt_b")
+    hotLinked.unionByName(coldLinked).select(col("subj"), col("surface"), col("entity"))
   }
 
   /** Canonicalize subject IRIs via linked entities: rewrite subj -> entity
@@ -198,5 +233,25 @@ object GraphMaterialize {
     import spark.implicits._
     PageGen.HubSurfaces.zip(PageGen.HubEntities)
       .toDF("surface", "entity")
+  }
+
+  /** Deliberately LARGE dictionary for the cold-tail path: the hub head
+    * plus `perKind`×5 generated tail entries whose surfaces align with the
+    * corpus' actual name literals ("Product N", "Org N", "Person N",
+    * "Child N", "Anon N" — PageGen.payload), so the salted sort-merge tail
+    * provably links real mentions rather than passing vacuously on
+    * all-null entities. Generated distributed (spark.range — no driver
+    * data) and deterministic, so the DuckDB oracle can re-derive the links
+    * from the persisted parquet copy (AuxTables `big_dict`). */
+  def bigDictionary(spark: SparkSession, perKind: Int = 65536): DataFrame = {
+    val kinds = Seq("Product" -> "product", "Org" -> "org", "Person" -> "person",
+      "Child" -> "child", "Anon" -> "anon")
+    val tail = spark.range(0, perKind.toLong).select(
+      explode(array(kinds.map { case (pfx, slug) =>
+        struct(concat(lit(pfx + " "), col("id")).as("surface"),
+          concat(lit(s"https://dict.example/$slug/"), col("id")).as("entity"))
+      }: _*)).as("e"))
+      .select(col("e.surface").as("surface"), col("e.entity").as("entity"))
+    hubDictionary(spark).unionByName(tail)
   }
 }

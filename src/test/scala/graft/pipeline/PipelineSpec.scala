@@ -316,10 +316,30 @@ class PipelineSpec extends AnyFunSuite {
     val distinctHubs = links.filter(col("entity").isNotNull)
       .select(countDistinct(col("entity"))).collect()(0).getLong(0)
     assert(distinctHubs >= 4, s"expected several hub entities linked, got $distinctHubs")
-    val buckets = links.select(countDistinct(col("salt_bucket"))).collect()(0).getLong(0)
-    assert(buckets <= 16)
     val plan = links.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("scalable entity linking (hot broadcast + salted SMJ tail) matches the plain join") {
+    val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
+    val mentions = GraphMaterialize.mentions(triples)
+    val bigDict = GraphMaterialize.bigDictionary(spark, perKind = 4096)
+    val scalable = GraphMaterialize.linkEntitiesScalable(
+      mentions, bigDict, hotMentionCount = 8L, salt = 8)
+    // row-for-row equality with the single broadcast left join (the split
+    // must be a pure partition of the join, never a semantic change)
+    val plain = GraphMaterialize.linkEntities(mentions, bigDict)
+    assert(scalable.exceptAll(plain).isEmpty && plain.exceptAll(scalable).isEmpty,
+      "scalable link output must equal the plain left join")
+    // the cold tail must actually link something through the SMJ path
+    // (not pass vacuously): tail entities carry the dict.example prefix
+    val tailLinked = scalable.filter(col("entity").startsWith("https://dict.example/")).count()
+    assert(tailLinked > 0, "cold tail linked nothing — the SMJ path is untested")
+    // plan shape: both the broadcast head and the salted sort-merge tail
+    val plan = scalable.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ for the cold tail in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hot head in:\n$plan")
+    assert(plan.contains("salt_b"), s"expected the salted key in the SMJ in:\n$plan")
   }
 }
 
