@@ -29,7 +29,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r4a"
+  private val Version = "r4b"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -86,9 +86,15 @@ object AuxTables {
     val d = target + ".build-" + ProcessHandle.current().pid()
     deleteRecursive(d)
 
-    // 1. triples: the seeded KG corpus through the full pipeline
+    // 1. triples: the seeded KG corpus through the full pipeline — plus
+    //    the same corpus with per-doc blank-node canonicalization ON
+    //    (doc-key-prefixed _:c14n* labels), so the distributed C17 path
+    //    has a driver-checkable read-path oracle (VERDICT r3 #4)
     val triples = TripleEmit.pipeline(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8))
     triples.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/triples")
+    TripleEmit.pipeline(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8),
+        normalizeBNodes = true)
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/triples_norm")
 
     // 2. hub dictionary (surface -> canonical entity IRI) and the large
     //    corpus-aligned dictionary for the cold-tail link path
@@ -121,6 +127,13 @@ object AuxTables {
       import spark.implicits._
       VectorOps.ivfProbeCells(SparkEntry.annQuery.map(_.toDouble), cents)
         .toDF("cell").coalesce(1).write.mode("overwrite").parquet(s"$d/ivf_probed")
+      // centroid VECTORS as a first-class index artifact: the q_ann_ivf
+      // oracle re-derives the probed-cell list from these in SQL (argmax
+      // over list_cosine_similarity), so probe selection is independently
+      // recomputed instead of read back from ivf_probed (VERDICT r3 #5)
+      cents.zipWithIndex.map { case (e, i) => (i, e.toSeq) }.toSeq
+        .toDF("cell", "emb")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/ivf_centroids")
     }
 
     // 6. synthetic media inputs (the multimodal query's raw bytes)

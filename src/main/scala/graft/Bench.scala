@@ -64,15 +64,26 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").count(): Unit
     }
 
+    // Multi-pass per query, min reported (VERDICT r3 #6): this host's
+    // run-to-run noise reaches 6× on a minutes timescale, so a single
+    // pass makes a 2× "regression" on unchanged code undecidable. All
+    // passes are published alongside the min — no selection.
+    val qPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_PASSES", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      QueryGuard.run(spark, name, timeoutMs) { fn(spark, sfDir).count(): Unit }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to qPasses).map { _ =>
+        val t0 = System.nanoTime()
+        QueryGuard.run(spark, name, timeoutMs) { fn(spark, sfDir).count(): Unit }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + kgSec
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${v.min}%.3f" }.mkString("{", ",", "}")
+    val qp = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum + kgSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg":{"pages":$nPages,"triples":$nTriples,"seconds":$kgSec%.3f,"passes_sec":$kgPassesJson,"triples_per_sec":$triplesPerSec%.1f,"cores":$cpus}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_passes":$qp,"sf":"$sfDir","kg":{"pages":$nPages,"triples":$nTriples,"seconds":$kgSec%.3f,"passes_sec":$kgPassesJson,"triples_per_sec":$triplesPerSec%.1f,"cores":$cpus}}""")
     spark.stop()
   }
 }

@@ -353,6 +353,31 @@ object SparkEntry {
           col("objKind"), col("objValue"),
           col("objDatatype"), col("objLang"))
     }),
+    // depth-2 corpus framing: the iterated embed join with the per-root
+    // visited set (embed-once at the shallowest depth); depth 2 is
+    // non-vacuous because kind-3 pages describe their hub (Event ->
+    // location hub -> parentOrganization hub). The oracle re-derives all
+    // three levels with staged CTEs + EXCEPT-based visited sets.
+    "q_kg_frame_d2" -> ((s, dir) => {
+      import s.implicits._
+      val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
+      GraphMaterialize.frameByType(triples, "http://schema.org/Event", depth = 2)
+        .orderBy(col("root"), col("depth"), col("subj"), col("pred"),
+          col("objKind"), col("objValue"),
+          col("objDatatype"), col("objLang"))
+    }),
+    // the distributed C17 path: the live spine with per-doc normalization
+    // ON (doc-key-prefixed _:c14n* labels); oracle = the materialized
+    // normalized aux table — a determinism + read-path check exactly like
+    // q_kg_triples (the algorithm itself is gated by the 57 exact-string
+    // W3C normalize cases)
+    "q_kg_triples_norm" -> ((s, dir) => {
+      AuxTables.ensure(s, dir)
+      val pages = PageGen.pages(s, AuxTables.KgPages, seed = 42L, partitions = 8)
+      TripleEmit.pipeline(pages, normalizeBNodes = true).toDF()
+        .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
+          col("objDatatype"), col("objLang"), col("graph"))
+    }),
     "q_kg_flatten" -> ((s, dir) => {
       import s.implicits._
       val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
@@ -372,6 +397,28 @@ object SparkEntry {
       TurtleIngest.triples(TurtleIngest.serializeDocs(base, buckets = 32)).toDF()
         .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
           col("objDatatype"), col("objLang"), col("graph"))
+    }),
+    // bnode-bearing Turtle round-trip through the reference serializer's
+    // distinctive paths (bnode inlining [...] + rdf:List collections):
+    // re-parsing assigns fresh doc-keyed labels, so the oracle compares
+    // the label-ANONYMIZED triple multiset of the re-parsed corpus with
+    // the original slice (TurtleIngestSpec adds the structural-isomorphism
+    // check by normalizing both sides)
+    "q_turtle_ingest_bnodes" -> ((s, dir) => {
+      val slice = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+        .filter(col("graph") === "@default" &&
+          (substring(col("subj"), 1, 2) === "_:" || col("objKind") === 1))
+      TurtleIngest.triples(TurtleIngest.serializeDocsWithBnodes(slice, buckets = 16)).toDF()
+        .groupBy(
+          when(substring(col("subj"), 1, 2) === "_:", lit("_:"))
+            .otherwise(col("subj")).as("subj_a"),
+          col("pred"), col("objKind"),
+          when(col("objKind") === 1, lit("_:")).otherwise(col("objValue")).as("obj_a"),
+          coalesce(col("objDatatype"), lit("")).as("dt"),
+          coalesce(col("objLang"), lit("")).as("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("subj_a"), col("pred"), col("objKind"), col("obj_a"),
+          col("dt"), col("lang"))
     }),
     "q_media_features" -> ((s, _) => {
       val media = MultimodalOps.syntheticMedia(s, 200)
@@ -534,10 +581,18 @@ object SparkEntry {
          |SELECT e.vec_id, e.label FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
          |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], $annQuerySqlLiteral) DESC, e.vec_id
          |LIMIT 20""".stripMargin,
+    // probe-cell selection re-derived INDEPENDENTLY from the persisted
+    // centroid vectors (top-nprobe cells by cosine, ties by cell id —
+    // mirrors VectorOps.nearestCells' (-score, index) rank), so the
+    // oracle no longer reads the engine's own ivf_probed output
     "q_ann_ivf" ->
-      s"""SELECT e.vec_id, e.label FROM embeddings e
+      s"""WITH probed AS (
+         |  SELECT cell FROM read_parquet('{AUX}/ivf_centroids/*.parquet')
+         |  ORDER BY list_cosine_similarity(emb, $annQuerySqlLiteral) DESC, cell
+         |  LIMIT ${VectorOps.IvfProbe})
+         |SELECT e.vec_id, e.label FROM embeddings e
          |JOIN read_parquet('{AUX}/ivf_cells/*.parquet') c ON e.vec_id = c.vec_id
-         |WHERE c.cell IN (SELECT cell FROM read_parquet('{AUX}/ivf_probed/*.parquet'))
+         |WHERE c.cell IN (SELECT cell FROM probed)
          |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], $annQuerySqlLiteral) DESC, e.vec_id
          |LIMIT 20""".stripMargin,
     // exact all-pairs hamming over the same persisted signatures; equality
@@ -645,6 +700,39 @@ object SparkEntry {
         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1)
         |ORDER BY root, depth, subj, pred, objKind, objValue,
         |  objDatatype NULLS FIRST, objLang NULLS FIRST""".stripMargin,
+    // three embed levels re-derived relationally: per-level frontier =
+    // (refs of the previous frontier) EXCEPT (already-visited nodes per
+    // root) — the embed-once rule as set algebra
+    "q_kg_frame_d2" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objKind, objValue, objDatatype, objLang
+        |  FROM read_parquet('{AUX}/triples/*.parquet') WHERE graph = '@default'),
+        |roots AS (
+        |  SELECT DISTINCT subj FROM tr
+        |  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |    AND objKind = 0 AND objValue = 'http://schema.org/Event'),
+        |v0 AS (SELECT subj AS root, subj AS node FROM roots),
+        |d0 AS (SELECT r.subj AS root, 0 AS depth, t.* FROM tr t JOIN roots r ON t.subj = r.subj),
+        |f1 AS (
+        |  SELECT DISTINCT r.subj AS root, t.objValue AS node FROM tr t
+        |  JOIN roots r ON t.subj = r.subj WHERE t.objKind <> 2
+        |  EXCEPT SELECT root, node FROM v0),
+        |d1 AS (SELECT f.root, 1 AS depth, t.* FROM f1 f JOIN tr t ON t.subj = f.node),
+        |v1 AS (SELECT root, node FROM v0 UNION SELECT root, node FROM f1),
+        |f2 AS (
+        |  SELECT DISTINCT f.root, t.objValue AS node FROM f1 f
+        |  JOIN tr t ON t.subj = f.node WHERE t.objKind <> 2
+        |  EXCEPT SELECT root, node FROM v1),
+        |d2 AS (SELECT f.root, 2 AS depth, t.* FROM f2 f JOIN tr t ON t.subj = f.node)
+        |SELECT DISTINCT root, depth, subj, pred, objKind, objValue, objDatatype, objLang
+        |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |ORDER BY root, depth, subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST""".stripMargin,
+    "q_kg_triples_norm" ->
+      """SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph
+        |FROM read_parquet('{AUX}/triples_norm/*.parquet')
+        |ORDER BY subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
     // canonical node-object JSON rebuilt from scratch in SQL: same value
     // dedup, same (kind, value, datatype, lang) value order, same sorted
     // predicates, same compact JSON syntax (corpus values are ASCII with
@@ -679,6 +767,16 @@ object SparkEntry {
         |WHERE graph = '@default' AND objKind <> 1 AND substr(subj, 1, 2) <> '_:'
         |ORDER BY subj, pred, objKind, objValue,
         |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
+    "q_turtle_ingest_bnodes" ->
+      """SELECT CASE WHEN substr(subj, 1, 2) = '_:' THEN '_:' ELSE subj END AS subj_a,
+        |  pred, objKind,
+        |  CASE WHEN objKind = 1 THEN '_:' ELSE objValue END AS obj_a,
+        |  coalesce(objDatatype, '') AS dt, coalesce(objLang, '') AS lang,
+        |  count(*) AS n
+        |FROM read_parquet('{AUX}/triples/*.parquet')
+        |WHERE graph = '@default' AND (substr(subj, 1, 2) = '_:' OR objKind = 1)
+        |GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
     // multimodal plumbing: n_bytes/frames_sampled recomputed in SQL from
     // the raw persisted bytes (the decode stub's feature vector is not
     // part of the checked projection)

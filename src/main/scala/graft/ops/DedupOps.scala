@@ -155,6 +155,53 @@ object DedupOps {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  // ---------------- incremental (append-mode) near-dup maintenance ----
+
+  /** Append-mode near-dup update (VERDICT r3 #9, the streaming skin's
+    * batch companion): sketch ONLY the `newDocs` batch, candidate-join it
+    * against the PERSISTED signature table (new×old) and itself (new×new),
+    * and return the updated (sketches, pairs) artifacts. Never re-sketches
+    * the existing corpus — per batch the cost is
+    * O(|new| + |new×old candidates|), the shape an hourly crawl append
+    * needs at 100 TB.
+    *
+    * Exactness: a full rebuild's LSH candidates split into old×old
+    * (already in `existingPairs`), new×old, and new×new — the latter two
+    * are exactly what this computes, with the same signature-estimate
+    * filter, so incremental output == full rebuild output (OpsSpec
+    * asserts pair-set and component equality). Assumes new doc_ids are
+    * disjoint from existing ones (append semantics). */
+  def incrementalMinhashNearDups(existingSketches: DataFrame, existingPairs: DataFrame,
+                                 newDocs: DataFrame, k: Int = 64, bands: Int = 16,
+                                 threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val newSk = sketches(newDocs, k, bands).select("doc_id", "sig", "band_buckets")
+    def buckets(df: DataFrame) = df.select(col("doc_id"), col("sig"),
+      posexplode(col("band_buckets")).as(Seq("band", "bucket")))
+    val nb = buckets(newSk)
+    val ob = buckets(existingSketches.select("doc_id", "sig", "band_buckets"))
+    val nx = nb.select(col("band"), col("bucket"), col("doc_id").as("x"), col("sig").as("sx"))
+    val newNew = nx.join(
+      nb.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy")),
+      Seq("band", "bucket")).filter(col("x") < col("y"))
+    val newOld = nx.join(
+      ob.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy")),
+      Seq("band", "bucket"))
+    // the signature agreement estimate is symmetric, so orienting the pair
+    // as (min, max) after the join needs no sig re-alignment
+    val agree = aggregate(
+      zip_with(col("sx"), col("sy"), (p, q) => when(p === q, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val newPairs = newNew.unionByName(newOld)
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
+        col("sx"), col("sy"))
+      .dropDuplicates("a", "b")
+      .withColumn("jaccard_est", agree.cast("double") / lit(k.toDouble))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("a"), col("b"), col("jaccard_est"))
+    (existingSketches.select("doc_id", "sig", "band_buckets").unionByName(newSk),
+      existingPairs.select(col("a"), col("b"), col("jaccard_est")).unionByName(newPairs))
+  }
+
   // ---------------- near-dup cluster resolution ----------------
 
   /** Connected components over an undirected near-dup pair table

@@ -77,7 +77,12 @@ object PageGen {
       case 2 =>
         s"""{"@context":{"s":"http://schema.org/","tags":{"@id":"s:keywords","@container":"@list"}},"@id":"https://${hostFor(seed, i, 1000)}/article/$n","@type":"s:Article","s:author":{"s:name":"Anon $n"},"tags":["t${n % 7}","t${n % 11}","t${n % 13}"]}"""
       case 3 =>
-        s"""{"@context":{"s":"http://schema.org/"},"@graph":[{"@id":"https://events.example/e$n","@type":"s:Event","s:location":{"@id":"$hub"},"s:performer":{"s:name":"${HubSurfaces(hubIdx)}"},"s:startDate":{"@value":"2026-0${(n % 9) + 1}-01T00:00:00Z","@type":"http://www.w3.org/2001/XMLSchema#dateTime"}}]}"""
+        // the @graph also DESCRIBES the hub (name + a parentOrganization
+        // edge to the next hub), so hubs are subjects with outgoing
+        // triples: Event -> location hub -> parent hub gives corpus
+        // framing real depth >= 2 chains (VERDICT r3 #3 needed a
+        // non-vacuous q_kg_frame_d2)
+        s"""{"@context":{"s":"http://schema.org/"},"@graph":[{"@id":"https://events.example/e$n","@type":"s:Event","s:location":{"@id":"$hub"},"s:performer":{"s:name":"${HubSurfaces(hubIdx)}"},"s:startDate":{"@value":"2026-0${(n % 9) + 1}-01T00:00:00Z","@type":"http://www.w3.org/2001/XMLSchema#dateTime"}},{"@id":"$hub","s:name":"${HubSurfaces(hubIdx)}","s:parentOrganization":{"@id":"${HubEntities((hubIdx + 1) % HubEntities.size)}"}}]}"""
       case 4 =>
         s"""{"@context":{"s":"http://schema.org/","parent":{"@reverse":"s:children"}},"@id":"https://people.example/c$n","s:name":"Child $n","parent":{"@id":"https://people.example/p${n % 500}"}}"""
       case _ =>

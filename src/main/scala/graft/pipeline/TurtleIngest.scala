@@ -74,13 +74,31 @@ object TurtleIngest {
   private val SchemaOrg = "http://schema.org/"
   private val PnLocal = "^[A-Za-z][A-Za-z0-9]*$".r
 
+  /** Per-task memory bound for the corpus writers: one bucket's triples
+    * are buffered while its document is built (both the line writer here
+    * and the reference serializer need the bucket in memory for grouping /
+    * bnode inlining). A bucket is therefore bounded state — corpus scale
+    * comes from the BUCKET COUNT, not from unbounded per-task buffers, and
+    * exceeding the bound fails loudly instead of OOMing the task
+    * (ADVICE r3: the docstring claimed corpus scale while the builder was
+    * O(corpus/buckets) with no cap). Size buckets so corpus/buckets stays
+    * under this. */
+  val MaxTriplesPerBucket = 1000000
+
+  private def guardBucket(bucket: Any, n: Int): Unit =
+    if (n > MaxTriplesPerBucket)
+      throw new IllegalStateException(
+        s"turtle bucket $bucket holds $n triples > $MaxTriplesPerBucket — " +
+          "raise the bucket count; one task must not buffer an unbounded document")
+
   /** Distributed Turtle corpus WRITER for bnode-free triples: buckets the
     * triples by subject hash into `buckets` documents, each a valid Turtle
     * doc with a schema.org @prefix (so re-parsing exercises prefixed-name
     * resolution, not just IRI lines). Round-trips exactly through
     * [[triples]]: literal lexical forms are quoted verbatim (no numeric
     * shorthand), plain strings omit ^^xsd:string, language literals use
-    * @lang — matching the parser's datatype conventions. */
+    * @lang — matching the parser's datatype conventions. Per-task state is
+    * bounded by [[MaxTriplesPerBucket]] (fails loudly past it). */
   def serializeDocs(bnodeFreeTriples: DataFrame, buckets: Int = 32): Dataset[(String, String)] = {
     import bnodeFreeTriples.sparkSession.implicits._
     bnodeFreeTriples
@@ -96,7 +114,10 @@ object TurtleIngest {
           if (iri.startsWith(SchemaOrg) && PnLocal.matches(iri.substring(SchemaOrg.length)))
             "s:" + iri.substring(SchemaOrg.length)
           else "<" + iri + ">"
+        var n = 0
         rows.foreach { case (_, subj, pred, okind, ov, dt, lg) =>
+          n += 1
+          guardBucket(bucket, n)
           sb.append(term(subj)).append(' ').append(term(pred)).append(' ')
           if (okind == 0) sb.append(term(ov))
           else {
@@ -108,6 +129,81 @@ object TurtleIngest {
           sb.append(" .\n")
         }
         (s"ttl-bucket-$bucket", sb.toString)
+      }
+  }
+
+  /** Distributed Turtle corpus WRITER for bnode-BEARING slices, exercising
+    * the reference serializer's distinctive features — bnode inlining
+    * `[...]` and rdf:List collections `(...)` — through the ported
+    * [[graft.jsonld.Turtle.Writer]] (Impl/TurtleTripleCallback.cs:8-435),
+    * per bucket (VERDICT r3 #7: the bnode-free writer left those serializer
+    * paths corpus-untested).
+    *
+    * Bucketing must keep each source document's blank-node CLUSTER in one
+    * output document (bnode labels are document-scoped in Turtle): the
+    * pipeline's labels are doc-key-prefixed (`_:d<key>.<local>`,
+    * TripleEmit.docKey), so the bucket key is the label's doc-key prefix
+    * for any bnode-touching triple, and the subject otherwise — triples
+    * that share a bnode always share a prefix, never a prefix across
+    * source docs.
+    *
+    * Re-parsing assigns FRESH doc-keyed labels (`_:d<newkey>.b<i>`), so
+    * the round-trip invariant is bnode-label-ANONYMIZED triple-multiset
+    * equality (the driver oracle) plus structural isomorphism, which
+    * TurtleIngestSpec checks by normalizing both sides' N-Quads.
+    *
+    * Precondition (inherited from the reference serializer): every bnode
+    * is referenced at most once — the tree shape toRDF emits for embedded
+    * node objects. A multiply-referenced bnode would serialize as an
+    * orphaned anonymous `[...]` (the reference has no labeled-bnode
+    * emission), so it fails loudly here instead of corrupting the corpus. */
+  def serializeDocsWithBnodes(defaultGraphTriples: DataFrame,
+                              buckets: Int = 32): Dataset[(String, String)] = {
+    import defaultGraphTriples.sparkSession.implicits._
+    val bnodePrefix = "^(_:[^.]*)"
+    val grpKey =
+      when(substring(col("subj"), 1, 2) === "_:",
+        regexp_extract(col("subj"), bnodePrefix, 1))
+        .when(col("objKind") === 1, regexp_extract(col("objValue"), bnodePrefix, 1))
+        .otherwise(col("subj"))
+    defaultGraphTriples
+      .withColumn("bucket", pmod(xxhash64(grpKey), lit(buckets)))
+      .select(col("bucket"), col("subj"), col("pred"), col("objKind"),
+        col("objValue"), col("objDatatype"), col("objLang"))
+      .as[(Long, String, String, Byte, String, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (bucket, it) =>
+        val rows = it.toArray
+        guardBucket(bucket, rows.length)
+        // deterministic document: sorted triples (the writer groups by
+        // first-seen subject/predicate, so feed order defines output)
+        java.util.Arrays.sort(rows, Ordering.by {
+          r: (Long, String, String, Byte, String, String, String) =>
+            (r._2, r._3, r._4, r._5, Option(r._6).getOrElse(""), Option(r._7).getOrElse(""))
+        })
+        // reference precondition: tree-shaped bnodes (each referenced <= 1x)
+        val refCounts = scala.collection.mutable.HashMap.empty[String, Int]
+        rows.foreach { r =>
+          if (r._4 == 1) refCounts.updateWith(r._5)(c => Some(c.getOrElse(0) + 1))
+        }
+        refCounts.find(_._2 > 1).foreach { case (label, n) =>
+          throw new IllegalStateException(
+            s"bnode $label referenced $n times — the reference serializer " +
+              "only supports tree-shaped (singly-referenced) blank nodes")
+        }
+        val ds = new graft.jsonld.RdfDataset
+        ds.setNamespace("s", SchemaOrg)
+        rows.foreach { case (_, subj, pred, okind, ov, dt, lg) =>
+          if (okind == 2)
+            // pre-escape literal lexical forms: the reference writer quotes
+            // values verbatim, so escaping here makes the emitted document
+            // valid Turtle and the parser's unescape restores the value
+            ds.addTriple(subj, pred, NQuads.escape(ov),
+              if (dt != null && dt.nonEmpty) dt else XsdString,
+              if (lg != null && lg.nonEmpty) lg else null)
+          else ds.addTriple(subj, pred, ov)
+        }
+        (s"ttlb-bucket-$bucket", Turtle.toTurtle(ds))
       }
   }
 }

@@ -139,6 +139,42 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 >= 13L || p._2 >= 13L), s"false positive: $pairs")
   }
 
+  test("incremental near-dups: appending a batch equals a full rebuild") {
+    // corpus with cross-batch near-dups: 20 is a near-dup of 10 (old),
+    // 21 duplicates 20 (new x new), 22 is unrelated
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word100", "replaced")
+    val old = Seq(
+      (10L, base), (11L, base.replace("word5", "changed")),
+      (12L, (0 until 200).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (20L, near), (21L, near), (22L, (0 until 200).map(i => s"new$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val oldSk = DedupOps.sketches(old).select("doc_id", "sig", "band_buckets")
+    val oldPairs = DedupOps.minhashNearDups(old, threshold = 0.5)
+    val (allSk, allPairs) =
+      DedupOps.incrementalMinhashNearDups(oldSk, oldPairs, fresh, threshold = 0.5)
+
+    val rebuilt = DedupOps.minhashNearDups(old.unionByName(fresh), threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val incremental = allPairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(incremental == rebuilt,
+      s"incremental=$incremental rebuild=$rebuilt")
+    assert(incremental.contains((10L, 20L)) && incremental.contains((20L, 21L)),
+      s"cross-batch and in-batch pairs must both appear: $incremental")
+    assert(allSk.count() == 6)
+
+    // component resolution stays identical to a full rebuild
+    val compsInc = DedupOps.dedupComponents(allPairs.select("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val compsFull = DedupOps.dedupComponents(
+      DedupOps.minhashNearDups(old.unionByName(fresh), threshold = 0.5).select("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(compsInc == compsFull, s"$compsInc vs $compsFull")
+  }
+
   test("text metrics: token count, quality bounds, langid") {
     val out = TextOps.enrich(docs.withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text"))))

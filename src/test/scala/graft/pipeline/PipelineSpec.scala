@@ -304,6 +304,35 @@ class PipelineSpec extends AnyFunSuite {
       s"IRI + bnode neighbors must embed: $depth1")
   }
 
+  test("depth-2 framing embeds once at the shallowest depth and survives cycles") {
+    import spark.implicits._
+    // diamond a->{b,c}->d plus a cycle b->a: d embeds ONCE at depth 2,
+    // the root is never re-embedded, and b/c sit at depth 1
+    def tp(s: String, p: String, k: Byte, o: String) =
+      Triple(s, p, k, o, null, null, "@default")
+    val ts = Seq(
+      tp("http://a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0,
+        "http://schema.org/Event"),
+      tp("http://a", "http://p/x", 0, "http://b"),
+      tp("http://a", "http://p/y", 0, "http://c"),
+      tp("http://b", "http://p/z", 0, "http://d"),
+      tp("http://b", "http://p/back", 0, "http://a"),
+      tp("http://c", "http://p/z", 0, "http://d"),
+      tp("http://d", "http://p/name", 2, "Leaf")
+    ).toDS()
+    val framed = GraphMaterialize.frameByType(ts, "http://schema.org/Event", depth = 3)
+      .as[(String, Int, String, String, Byte, String, String, String)].collect()
+    val bySubj = framed.groupBy(_._3).view.mapValues(_.map(_._2).distinct.sorted.toSeq).toMap
+    assert(bySubj("http://a") == Seq(0), s"root must embed only at depth 0: $bySubj")
+    assert(bySubj("http://b") == Seq(1) && bySubj("http://c") == Seq(1), s"$bySubj")
+    assert(bySubj("http://d") == Seq(2),
+      s"diamond target must embed once, at its shallowest depth: $bySubj")
+    // depth parameter is honored: depth=1 stops before d
+    val shallow = GraphMaterialize.frameByType(ts, "http://schema.org/Event", depth = 1)
+      .as[(String, Int, String, String, Byte, String, String, String)].collect()
+    assert(!shallow.exists(_._3 == "http://d"), "depth=1 must not reach depth-2 nodes")
+  }
+
   test("entity linking resolves hub mentions via broadcast dictionary") {
     val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
     val links = GraphMaterialize.linkEntities(

@@ -43,4 +43,43 @@ class TurtleIngestSpec extends AnyFunSuite {
     assert(roundTripped == expected,
       s"missing=${(expected diff roundTripped).take(3)} extra=${(roundTripped diff expected).take(3)}")
   }
+
+  test("bnode writer round-trip is isomorphic (inlining + collections exercised)") {
+    import spark.implicits._
+    val triples = TripleEmit.pipeline(PageGen.pages(spark, 200, 42L, partitions = 4))
+    val slice = triples.toDF()
+      .filter(col("graph") === "@default" &&
+        (substring(col("subj"), 1, 2) === "_:" || col("objKind") === 1))
+    val docs = TurtleIngest.serializeDocsWithBnodes(slice, buckets = 8).collect()
+    // the reference serializer's distinctive paths must actually fire
+    assert(docs.exists(_._2.contains("[ ")), "no inlined bnode [...] emitted")
+    assert(docs.exists(_._2.contains("( ")), "no rdf:List collection (...) emitted")
+    val reparsed = TurtleIngest.triples(spark.createDataset(docs.toIndexedSeq)).collect()
+    val original = slice.as[Triple].collect()
+    assert(reparsed.length == original.length,
+      s"triple count changed: ${original.length} -> ${reparsed.length}")
+
+    // structural isomorphism: canonicalize both sides' bnode labels with
+    // the engine's own normalization — isomorphic graphs normalize to
+    // byte-identical N-Quads (labels are fresh per side, so only an
+    // isomorphism-preserving writer passes this)
+    def canonical(ts: Array[Triple]): String = {
+      val ds = new graft.jsonld.RdfDataset
+      ts.foreach { t =>
+        if (t.objKind == 2)
+          ds.addTriple(t.subj, t.pred, t.objValue,
+            Option(t.objDatatype).getOrElse(
+              "http://www.w3.org/2001/XMLSchema#string"), t.objLang)
+        else ds.addTriple(t.subj, t.pred, t.objValue)
+      }
+      val opts = graft.jsonld.JsonLdOptions(base = "")
+      opts.format = "application/nquads"
+      new graft.jsonld.JsonLdApi(opts).normalize(ds) match {
+        case Left(nq) => nq
+        case Right(_) => fail("expected nquads string")
+      }
+    }
+    assert(canonical(original) == canonical(reparsed),
+      "round-trip changed graph structure (normalized forms differ)")
+  }
 }
