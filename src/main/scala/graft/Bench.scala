@@ -37,7 +37,7 @@ object Bench {
     // a cold first pass (round-2 verdict #6) — the min over >=2 passes is
     // the honest steady-state estimate.
     val partitions = cpus.toInt * 4
-    val kgRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_KG_PASSES", "2").toInt)
+    val kgRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_KG_PASSES", "3").toInt)
     TripleEmit.pipeline(PageGen.pages(spark, 20000, 7L, 64)).count()
     val kgPasses = (1 to kgRuns).map { _ =>
       time { TripleEmit.pipeline(PageGen.pages(spark, nPages, 42L, partitions)).count() }

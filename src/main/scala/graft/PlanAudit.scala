@@ -30,8 +30,9 @@ object PlanAudit {
       "q1_agg", "q_join_agg", "q_filter_prune", "q_topk_parts",
       "q_minhash_neardups", "q_jaccard_verify", "q_simhash_neardups",
       "q_ann_topk", "q_ann_bucketed", "q_ann_ivf", "q_cosine_neardups",
-      "q_ngram_topk", "q_kg_adjacency", "q_kg_entitylink", "q_kg_flatten",
-      "q_kg_frame", "q_kg_stats", "q_turtle_ingest")
+      "q_ngram_topk", "q_kg_adjacency", "q_kg_entitylink",
+      "q_kg_entitylink_cold", "q_kg_flatten", "q_kg_frame", "q_kg_frame_d2",
+      "q_kg_stats", "q_turtle_ingest", "q_turtle_ingest_bnodes")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
