@@ -219,6 +219,22 @@ object SparkEntry {
       DedupOps.dedupComponents(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/neardup_pairs"))
         .orderBy(col("id"))),
+    // append-mode dedup: the corpus split by doc_id parity into an
+    // "existing" half (sketched + paired ahead of time) and an appended
+    // half that goes through the incremental path (new x new, new x old
+    // against the persisted signatures). The oracle is the SAME exact
+    // all-pairs Jaccard SQL as q_minhash_neardups over the FULL corpus —
+    // so the incremental union must equal a from-scratch rebuild.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 2 === 0)
+      val fresh = docs.filter(col("doc_id") % 2 === 1)
+      val oldSk = DedupOps.sketches(old).select("doc_id", "sig", "band_buckets")
+      val oldPairs = DedupOps.minhashNearDups(old, threshold = 0.5)
+      val (_, allPairs) =
+        DedupOps.incrementalMinhashNearDups(oldSk, oldPairs, fresh, threshold = 0.5)
+      allPairs.select(col("a"), col("b")).orderBy(col("a"), col("b"))
+    }),
     "q_jaccard_verify" -> ((s, dir) =>
       DedupOps.verifiedNearDups(t(s, dir, "documents"), jaccardThreshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))
@@ -536,6 +552,11 @@ object SparkEntry {
     // distribution is cleanly separated (nothing between ~0.3 and 0.9),
     // so LSH+threshold and the exact-SQL answer coincide.
     "q_minhash_neardups" ->
+      (shingleJaccardCte +
+        """SELECT a, b FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin),
+    // identical oracle to q_minhash_neardups: the incremental append path
+    // must produce exactly the full-rebuild (= exact all-pairs) answer
+    "q_dedup_incremental" ->
       (shingleJaccardCte +
         """SELECT a, b FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin),
     "q_jaccard_verify" ->
