@@ -72,16 +72,24 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to qPasses).map { _ =>
         val t0 = System.nanoTime()
-        QueryGuard.run(spark, name, timeoutMs) { fn(spark, sfDir).count(): Unit }
-        (System.nanoTime() - t0) / 1e9
+        val ok = QueryGuard.run(spark, name, timeoutMs) { fn(spark, sfDir).count(): Unit }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
       name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":${v.min}%.3f" }.mkString("{", ",", "}")
+    // min over SUCCESSFUL passes only — a pass that threw or timed out
+    // returns fast and must not masquerade as the steady-state min
+    // (review r4); with zero successes, report the worst time instead.
+    def minOk(v: Seq[(Boolean, Double)]): Double = {
+      val ok = v.filter(_._1).map(_._2)
+      if (ok.nonEmpty) ok.min else v.map(_._2).max
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${minOk(v)}%.3f" }.mkString("{", ",", "}")
     val qp = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + v.map { case (ok, t) => if (ok) f"$t%.3f" else f"-$t%.3f" }
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum + kgSec
+    val total = results.map(r => minOk(r._2)).sum + kgSec
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_passes":$qp,"sf":"$sfDir","kg":{"pages":$nPages,"triples":$nTriples,"seconds":$kgSec%.3f,"passes_sec":$kgPassesJson,"triples_per_sec":$triplesPerSec%.1f,"cores":$cpus}}""")
     spark.stop()

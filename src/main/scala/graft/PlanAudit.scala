@@ -32,7 +32,8 @@ object PlanAudit {
       "q_ann_topk", "q_ann_bucketed", "q_ann_ivf", "q_cosine_neardups",
       "q_ngram_topk", "q_kg_adjacency", "q_kg_entitylink",
       "q_kg_entitylink_cold", "q_kg_flatten", "q_kg_frame", "q_kg_frame_d2",
-      "q_kg_stats", "q_turtle_ingest", "q_turtle_ingest_bnodes")
+      "q_kg_stats", "q_turtle_ingest", "q_turtle_ingest_bnodes",
+      "q_dedup_incremental")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

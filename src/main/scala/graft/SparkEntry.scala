@@ -315,7 +315,7 @@ object SparkEntry {
     // salted sort-merge cold tail) against the deliberately large
     // corpus-aligned dictionary — the oracle recomputes the same
     // lower/join/count from the persisted big_dict parquet, and
-    // EntityLinkSpec pins the SMJ-on-salted-key plan shape
+    // PipelineSpec's scalable-link test pins the SMJ-on-salted-key plan
     "q_kg_entitylink_cold" -> ((s, dir) => {
       import s.implicits._
       val aux = AuxTables.ensure(s, dir)
@@ -701,7 +701,10 @@ object SparkEntry {
         |GROUP BY pred ORDER BY pred""".stripMargin,
     // frame = filter + join, re-derived relationally: roots by rdf:type,
     // depth-0 rows via semi-join, depth-1 rows via the object->subject
-    // self-join, distinct-merged exactly like the Spark side
+    // self-join, distinct-merged exactly like the Spark side. The
+    // `t.objValue <> t.subj` clause mirrors the engine's embed-once
+    // visited set (seeded with the root): a self-referencing root is
+    // never re-embedded at depth 1.
     "q_kg_frame" ->
       """WITH tr AS (
         |  SELECT subj, pred, objKind, objValue, objDatatype, objLang
@@ -714,7 +717,8 @@ object SparkEntry {
         |  SELECT t.subj AS root, 0 AS depth, t.* FROM tr t JOIN roots r ON t.subj = r.subj),
         |refs AS (
         |  SELECT DISTINCT t.subj AS root, t.objValue AS ref FROM tr t
-        |  JOIN roots r ON t.subj = r.subj WHERE t.objKind <> 2),
+        |  JOIN roots r ON t.subj = r.subj
+        |  WHERE t.objKind <> 2 AND t.objValue <> t.subj),
         |d1 AS (
         |  SELECT f.root, 1 AS depth, t.* FROM refs f JOIN tr t ON t.subj = f.ref)
         |SELECT DISTINCT root, depth, subj, pred, objKind, objValue, objDatatype, objLang

@@ -6,14 +6,18 @@ import java.nio.file.{Files, Paths}
   * under a Spark job group; on timeout, cancels the group's jobs (task
   * interruption enabled) so one runaway query can never consume the whole
   * budget — round 1's q_minhash_neardups alone zeroed both BENCH and
-  * CORRECTNESS for the round. Returns true iff the body completed. */
+  * CORRECTNESS for the round. Returns true iff the body completed
+  * WITHOUT throwing (review r4: a body exception used to report true,
+  * letting Bench publish a fast "min" for a pass that never finished). */
 object QueryGuard {
   def run(spark: SparkSession, name: String, timeoutMs: Long)(body: => Unit): Boolean = {
     val group = s"guard-$name"
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val worker = new Thread(() => {
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       try body
       catch { case e: Throwable =>
+        failed.set(true)
         System.err.println(s"[guard] $name failed: ${e.getMessage}")
       } finally spark.sparkContext.clearJobGroup()
     }, group)
@@ -25,7 +29,7 @@ object QueryGuard {
       spark.sparkContext.cancelJobGroup(group)
       worker.join(30000)
       false
-    } else true
+    } else !failed.get()
   }
 }
 

@@ -86,8 +86,9 @@ object GraphMaterialize {
     *
     * Semantics are identical to a plain left join: hot mentions can only
     * match hot-head entries and cold mentions only tail entries, so the
-    * union of the two joins is exactly the full join (EntityLinkSpec
-    * asserts equality against [[linkEntities]] row-for-row). */
+    * union of the two joins is exactly the full join (PipelineSpec's
+    * "scalable entity linking" test asserts equality against
+    * [[linkEntities]] row-for-row and pins the SMJ-on-salted-key plan). */
   def linkEntitiesScalable(mentionsDf: DataFrame, dictionary: DataFrame,
                            hotMentionCount: Long = 1000L, salt: Int = 8): DataFrame = {
     val dict = dictionary.select(lower(col("surface")).as("surface"), col("entity"))

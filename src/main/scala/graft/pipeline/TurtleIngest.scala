@@ -173,8 +173,15 @@ object TurtleIngest {
       .as[(Long, String, String, Byte, String, String, String)]
       .groupByKey(_._1)
       .mapGroups { (bucket, it) =>
-        val rows = it.toArray
-        guardBucket(bucket, rows.length)
+        // guard WHILE buffering: materializing first and checking after
+        // would OOM before the loud failure fires (review r4)
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          (Long, String, String, Byte, String, String, String)]()
+        it.foreach { r =>
+          guardBucket(bucket, buf.length + 1)
+          buf += r
+        }
+        val rows = buf.toArray
         // deterministic document: sorted triples (the writer groups by
         // first-seen subject/predicate, so feed order defines output)
         java.util.Arrays.sort(rows, Ordering.by {
