@@ -331,6 +331,18 @@ class PipelineSpec extends AnyFunSuite {
     val shallow = GraphMaterialize.frameByType(ts, "http://schema.org/Event", depth = 1)
       .as[(String, Int, String, String, Byte, String, String, String)].collect()
     assert(!shallow.exists(_._3 == "http://d"), "depth=1 must not reach depth-2 nodes")
+    // @explicit-style property filter: only listed predicates embed or
+    // are followed — listing x and z keeps the a -> b -> d spine while
+    // pruning the c branch (y unlisted) and d's name literal
+    val explicit = GraphMaterialize.frameByType(ts, "http://schema.org/Event",
+      depth = 3, explicitProps = Seq("http://p/x", "http://p/z"))
+      .as[(String, Int, String, String, Byte, String, String, String)].collect()
+    val explicitSubjs = explicit.map(_._3).toSet
+    assert(explicitSubjs == Set("http://a", "http://b"),
+      s"explicit filter must prune unlisted branches: $explicitSubjs")
+    assert(explicit.map(_._4).toSet.subsetOf(
+      Set("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://p/x", "http://p/z")),
+      "only rdf:type and listed predicates may be emitted")
   }
 
   test("entity linking resolves hub mentions via broadcast dictionary") {
