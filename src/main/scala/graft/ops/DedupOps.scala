@@ -174,6 +174,19 @@ object DedupOps {
   def incrementalMinhashNearDups(existingSketches: DataFrame, existingPairs: DataFrame,
                                  newDocs: DataFrame, k: Int = 64, bands: Int = 16,
                                  threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val (newSk, newPairs) =
+      incrementalMinhashDelta(existingSketches, newDocs, k, bands, threshold)
+    (existingSketches.select("doc_id", "sig", "band_buckets").unionByName(newSk),
+      existingPairs.select(col("a"), col("b"), col("jaccard_est")).unionByName(newPairs))
+  }
+
+  /** The delta form of [[incrementalMinhashNearDups]]: returns ONLY the
+    * new batch's (sketches, pairs) — what an append-mode sink persists
+    * per batch (graft.streaming.DedupStream writes each delta to a
+    * batchId-scoped directory so replays stay idempotent). */
+  def incrementalMinhashDelta(existingSketches: DataFrame, newDocs: DataFrame,
+                              k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5): (DataFrame, DataFrame) = {
     val newSk = sketches(newDocs, k, bands).select("doc_id", "sig", "band_buckets")
     def buckets(df: DataFrame) = df.select(col("doc_id"), col("sig"),
       posexplode(col("band_buckets")).as(Seq("band", "bucket")))
@@ -198,8 +211,7 @@ object DedupOps {
       .withColumn("jaccard_est", agree.cast("double") / lit(k.toDouble))
       .filter(col("jaccard_est") >= threshold)
       .select(col("a"), col("b"), col("jaccard_est"))
-    (existingSketches.select("doc_id", "sig", "band_buckets").unionByName(newSk),
-      existingPairs.select(col("a"), col("b"), col("jaccard_est")).unionByName(newPairs))
+    (newSk, newPairs)
   }
 
   // ---------------- near-dup cluster resolution ----------------
