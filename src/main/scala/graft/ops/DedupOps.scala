@@ -188,9 +188,22 @@ object DedupOps {
                               k: Int = 64, bands: Int = 16,
                               threshold: Double = 0.5): (DataFrame, DataFrame) = {
     val newSk = sketches(newDocs, k, bands).select("doc_id", "sig", "band_buckets")
+    (newSk, incrementalPairsFromSketches(existingSketches, newSk, k, threshold))
+  }
+
+  /** New-batch pair generation against a persisted signature table, both
+    * sides ALREADY sketched (callers that persist/cache the new sketches
+    * — DedupStream — use this so the document tokenize+minhash pass runs
+    * exactly once per batch, not once per downstream action). A doc_id
+    * that recurs across batches (a re-crawl) never self-pairs (the x=y
+    * guard), but its older sketch stays in the table — replacing
+    * superseded sketches is a compaction concern, documented at the
+    * caller. */
+  def incrementalPairsFromSketches(existingSketches: DataFrame, newSketches: DataFrame,
+                                   k: Int = 64, threshold: Double = 0.5): DataFrame = {
     def buckets(df: DataFrame) = df.select(col("doc_id"), col("sig"),
       posexplode(col("band_buckets")).as(Seq("band", "bucket")))
-    val nb = buckets(newSk)
+    val nb = buckets(newSketches.select("doc_id", "sig", "band_buckets"))
     val ob = buckets(existingSketches.select("doc_id", "sig", "band_buckets"))
     val nx = nb.select(col("band"), col("bucket"), col("doc_id").as("x"), col("sig").as("sx"))
     val newNew = nx.join(
@@ -199,19 +212,21 @@ object DedupOps {
     val newOld = nx.join(
       ob.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy")),
       Seq("band", "bucket"))
+      // a re-crawled doc_id meets its own earlier sketch here — that is
+      // the same document, not a near-duplicate pair (review r4)
+      .filter(col("x") =!= col("y"))
     // the signature agreement estimate is symmetric, so orienting the pair
     // as (min, max) after the join needs no sig re-alignment
     val agree = aggregate(
       zip_with(col("sx"), col("sy"), (p, q) => when(p === q, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    val newPairs = newNew.unionByName(newOld)
+    newNew.unionByName(newOld)
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
         col("sx"), col("sy"))
       .dropDuplicates("a", "b")
       .withColumn("jaccard_est", agree.cast("double") / lit(k.toDouble))
       .filter(col("jaccard_est") >= threshold)
       .select(col("a"), col("b"), col("jaccard_est"))
-    (newSk, newPairs)
   }
 
   // ---------------- near-dup cluster resolution ----------------

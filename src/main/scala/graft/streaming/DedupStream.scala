@@ -39,9 +39,13 @@ object DedupStream {
     StructField("band_buckets", ArrayType(LongType))))
 
   /** Drain the docs backlog, maintaining `outDir/sketches` and
-    * `outDir/pairs` (both batchId-partitioned). */
+    * `outDir/pairs` (both batchId-partitioned). `k`/`bands` are the
+    * persisted table's sketch parameters — [[dedupBatch]] validates every
+    * batch against what is already on disk, so a parameter drift fails
+    * loudly instead of silently depressing signature agreement. */
   def run(spark: SparkSession, docsDir: String, outDir: String,
-          maxFilesPerTrigger: Int = 64, threshold: Double = 0.5): StreamingQuery =
+          maxFilesPerTrigger: Int = 64, threshold: Double = 0.5,
+          k: Int = 64, bands: Int = 16): StreamingQuery =
     spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -51,33 +55,50 @@ object DedupStream {
       .option("checkpointLocation", s"$outDir/checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatch(batch, batchId, outDir, threshold)
+        dedupBatch(batch, batchId, outDir, threshold, k, bands)
       }
       .start()
 
   /** All sketches persisted by batches OTHER than `excludeBatch` (replay
-    * safety), or an empty frame before the first batch commits. */
+    * safety), or an empty frame before the first batch commits. The
+    * missing-table case is an explicit FileSystem existence check — a
+    * catch-all on AnalysisException would also swallow a real analysis
+    * error (e.g. a sketches dir rewritten without batch= partitions) and
+    * silently join every future batch against nothing (review r4). */
   private[streaming] def existingSketches(spark: SparkSession, outDir: String,
-                                          excludeBatch: Long): DataFrame =
-    try
-      spark.read.parquet(s"$outDir/sketches")
+                                          excludeBatch: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/sketches")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        sketchSchema)
+    else
+      spark.read.parquet(path.toString)
         .filter(col("batch") =!= excludeBatch)
         .select("doc_id", "sig", "band_buckets")
-    catch {
-      case _: org.apache.spark.sql.AnalysisException => // nothing written yet
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          sketchSchema)
-    }
+  }
 
-  /** One micro-batch: sketch the batch, pair it against every EARLIER
-    * batch's persisted signatures, write both deltas batchId-scoped. */
+  /** One micro-batch: sketch the batch ONCE (cached across the two
+    * writes — foreachBatch frames recompute per action, and the
+    * tokenize+minhash pass over document text must not run 3-4 times),
+    * validate sketch-parameter compatibility with the persisted table,
+    * pair against every EARLIER batch's signatures, write both deltas
+    * batchId-scoped. */
   private[streaming] def dedupBatch(batch: DataFrame, batchId: Long, outDir: String,
-                                    threshold: Double): Unit = {
+                                    threshold: Double, k: Int = 64,
+                                    bands: Int = 16): Unit = {
     val spark = batch.sparkSession
     val existing = existingSketches(spark, outDir, batchId)
-    val (newSk, newPairs) =
-      DedupOps.incrementalMinhashDelta(existing, batch, threshold = threshold)
-    newSk.write.mode("overwrite").parquet(s"$outDir/sketches/batch=$batchId")
-    newPairs.write.mode("overwrite").parquet(s"$outDir/pairs/batch=$batchId")
+    if (existing.filter(size(col("sig")) =!= k).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"persisted sketches in $outDir/sketches were built with a different k than $k — " +
+          "signature agreement would be silently wrong; rebuild or match parameters")
+    val newSk = DedupOps.sketches(batch, k, bands)
+      .select("doc_id", "sig", "band_buckets").cache()
+    try {
+      newSk.write.mode("overwrite").parquet(s"$outDir/sketches/batch=$batchId")
+      DedupOps.incrementalPairsFromSketches(existing, newSk, k, threshold)
+        .write.mode("overwrite").parquet(s"$outDir/pairs/batch=$batchId")
+    } finally newSk.unpersist()
   }
 }

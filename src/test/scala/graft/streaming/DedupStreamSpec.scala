@@ -66,4 +66,16 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(after == before, s"replay changed the pair set: $after vs $before")
     assert(!after.exists(p => p._1 == p._2), s"self-pair leaked: $after")
   }
+
+  test("a re-crawled doc_id meets its own earlier sketch without self-pairing") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupcrawl").toString
+    val outDir = s"$dir/out"
+    val text = (0 until 200).map(i => s"word$i").mkString(" ")
+    DedupStream.dedupBatch(Seq((10L, text)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    // the same document arrives again in a later batch (routine re-crawl)
+    DedupStream.dedupBatch(Seq((10L, text)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    val pairs = spark.read.parquet(s"$outDir/pairs")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.isEmpty, s"re-crawl must not self-pair: $pairs")
+  }
 }
