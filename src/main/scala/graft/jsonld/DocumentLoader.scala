@@ -71,6 +71,11 @@ final class DocumentLoader(transport: HttpTransport) {
       resp = transport.get(cur)
       redirects += 1
     }
+    // Preserved reference quirk (LDHttpClient.cs:44-47): the budget check
+    // tests the redirect COUNTER, not whether the final response is still
+    // a redirect, so a chain that consumes the whole budget throws even
+    // when it ends in a success (the reference's post-incremented counter
+    // does the same one hop earlier).
     if (redirects >= MaxRedirects)
       throw new IllegalStateException(s"too many redirects: $url")
     (resp, cur)
@@ -111,8 +116,13 @@ final class DocumentLoader(transport: HttpTransport) {
       doc
     } catch {
       case e: JsonLdError => throw e
-      case _: Exception =>
-        throw new JsonLdError(JsonLdError.LoadingDocumentFailed, url)
+      case e: Exception =>
+        // keep the root cause on the chain like the reference's
+        // innerException (DocumentLoader.cs:109-112) — a production
+        // caller must be able to tell a TLS failure from a parse failure
+        val err = new JsonLdError(JsonLdError.LoadingDocumentFailed, url)
+        err.initCause(e)
+        throw err
     }
   }
 }

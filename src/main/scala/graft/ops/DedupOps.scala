@@ -198,19 +198,35 @@ object DedupOps {
     * that recurs across batches (a re-crawl) never self-pairs (the x=y
     * guard), but its older sketch stays in the table — replacing
     * superseded sketches is a compaction concern, documented at the
-    * caller. */
+    * caller. When the old side carries a `batch` column and a re-crawled
+    * corpus doc therefore has several sketches, the estimate for a pair
+    * is taken from the LATEST old sketch (max_by over batch on the
+    * candidate set only — no extra shuffle over the corpus table), so
+    * the result is deterministic instead of whichever duplicate a
+    * dropDuplicates happened to keep (review r4b). */
   def incrementalPairsFromSketches(existingSketches: DataFrame, newSketches: DataFrame,
                                    k: Int = 64, threshold: Double = 0.5): DataFrame = {
-    def buckets(df: DataFrame) = df.select(col("doc_id"), col("sig"),
+    val oldWithBatch =
+      if (existingSketches.columns.contains("batch"))
+        existingSketches.select(col("doc_id"), col("sig"), col("band_buckets"),
+          col("batch").cast("long").as("obatch"))
+      else
+        existingSketches.select(col("doc_id"), col("sig"), col("band_buckets"),
+          lit(0L).as("obatch"))
+    def buckets(df: DataFrame) = df.select(col("doc_id"), col("sig"), col("obatch"),
       posexplode(col("band_buckets")).as(Seq("band", "bucket")))
-    val nb = buckets(newSketches.select("doc_id", "sig", "band_buckets"))
-    val ob = buckets(existingSketches.select("doc_id", "sig", "band_buckets"))
+    val nb = buckets(newSketches.select(col("doc_id"), col("sig"), col("band_buckets"))
+      // the new batch supersedes every persisted sketch by definition
+      .withColumn("obatch", lit(Long.MaxValue)))
+    val ob = buckets(oldWithBatch)
     val nx = nb.select(col("band"), col("bucket"), col("doc_id").as("x"), col("sig").as("sx"))
     val newNew = nx.join(
-      nb.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy")),
+      nb.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy"),
+        col("obatch")),
       Seq("band", "bucket")).filter(col("x") < col("y"))
     val newOld = nx.join(
-      ob.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy")),
+      ob.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy"),
+        col("obatch")),
       Seq("band", "bucket"))
       // a re-crawled doc_id meets its own earlier sketch here — that is
       // the same document, not a near-duplicate pair (review r4)
@@ -222,8 +238,10 @@ object DedupOps {
       lit(0), (acc, v) => acc + v)
     newNew.unionByName(newOld)
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
-        col("sx"), col("sy"))
-      .dropDuplicates("a", "b")
+        col("sx"), col("sy"), col("obatch"))
+      .groupBy(col("a"), col("b"))
+      .agg(max_by(struct(col("sx"), col("sy")), col("obatch")).as("s"))
+      .select(col("a"), col("b"), col("s.sx").as("sx"), col("s.sy").as("sy"))
       .withColumn("jaccard_est", agree.cast("double") / lit(k.toDouble))
       .filter(col("jaccard_est") >= threshold)
       .select(col("a"), col("b"), col("jaccard_est"))

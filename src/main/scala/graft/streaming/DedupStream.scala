@@ -36,7 +36,14 @@ object DedupStream {
   private val sketchSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType)),
-    StructField("band_buckets", ArrayType(LongType))))
+    StructField("band_buckets", ArrayType(LongType)),
+    StructField("batch", LongType)))
+
+  private val pairSchema = StructType(Seq(
+    StructField("a", LongType),
+    StructField("b", LongType),
+    StructField("jaccard_est", DoubleType),
+    StructField("batch", LongType)))
 
   /** Drain the docs backlog, maintaining `outDir/sketches` and
     * `outDir/pairs` (both batchId-partitioned). `k`/`bands` are the
@@ -59,24 +66,54 @@ object DedupStream {
       }
       .start()
 
-  /** All sketches persisted by batches OTHER than `excludeBatch` (replay
-    * safety), or an empty frame before the first batch commits. The
-    * missing-table case is an explicit FileSystem existence check — a
-    * catch-all on AnalysisException would also swallow a real analysis
-    * error (e.g. a sketches dir rewritten without batch= partitions) and
-    * silently join every future batch against nothing (review r4). */
-  private[streaming] def existingSketches(spark: SparkSession, outDir: String,
-                                          excludeBatch: Long): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$outDir/sketches")
+  /** Read a batchId-partitioned delta table, excluding `excludeBatch`
+    * (replay safety) and returning an empty frame when no batch has ever
+    * COMMITTED — the probe looks for an actual data file inside a
+    * `batch=` partition, not mere directory existence, because a crashed
+    * first attempt leaves `batch=N/_temporary` behind and a bare
+    * existence check would then feed that unreadable directory to the
+    * parquet reader on every replay, bricking recovery (review r4b). A
+    * directory that exists with visible content but NO `batch=`
+    * partitions still fails loudly (a rewritten layout must not silently
+    * join every future batch against nothing — review r4). */
+  private def committedDelta(spark: SparkSession, dir: String,
+                             schema: StructType, excludeBatch: Long): DataFrame = {
+    def hidden(p: org.apache.hadoop.fs.Path) =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        sketchSchema)
-    else
-      spark.read.parquet(path.toString)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!fs.exists(path)) empty
+    else {
+      val entries = fs.listStatus(path).filterNot(st => hidden(st.getPath))
+      val parts = entries.filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      if (parts.isEmpty && entries.nonEmpty)
+        throw new IllegalStateException(
+          s"$dir exists but holds no batch= partitions — the table layout was " +
+            "rewritten; refusing to silently treat it as empty")
+      val committed = parts.exists(p =>
+        fs.listStatus(p.getPath).exists(f => f.isFile && !hidden(f.getPath)))
+      if (!committed) empty
+      else spark.read.parquet(path.toString)
         .filter(col("batch") =!= excludeBatch)
-        .select("doc_id", "sig", "band_buckets")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
+
+  /** All sketches persisted by batches OTHER than `excludeBatch`, with
+    * their batch id (the pair generator uses it to resolve re-crawled
+    * docs' multiple sketches deterministically — latest wins). */
+  private[streaming] def existingSketches(spark: SparkSession, outDir: String,
+                                          excludeBatch: Long): DataFrame =
+    committedDelta(spark, s"$outDir/sketches", sketchSchema, excludeBatch)
+
+  /** All pairs recorded by batches OTHER than `excludeBatch` — the
+    * anti-join target that keeps a re-confirmed pair (a re-crawl meeting
+    * a known near-dup) from landing twice in the pair table. */
+  private[streaming] def existingPairs(spark: SparkSession, outDir: String,
+                                       excludeBatch: Long): DataFrame =
+    committedDelta(spark, s"$outDir/pairs", pairSchema, excludeBatch)
 
   /** One micro-batch: sketch the batch ONCE (cached across the two
     * writes — foreachBatch frames recompute per action, and the
@@ -89,15 +126,32 @@ object DedupStream {
                                     bands: Int = 16): Unit = {
     val spark = batch.sparkSession
     val existing = existingSketches(spark, outDir, batchId)
-    if (existing.filter(size(col("sig")) =!= k).limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"persisted sketches in $outDir/sketches were built with a different k than $k — " +
-          "signature agreement would be silently wrong; rebuild or match parameters")
+    // Parameter-drift gate on ONE sampled row: every committed batch
+    // passed this same gate at write time, so the persisted table is
+    // uniform by induction and a single row decides — a filtered full
+    // count here would re-scan the whole signature table every
+    // micro-batch just to return 0 (review r4b). Both k (sig length)
+    // and bands (band_buckets length) are checked: a bands drift would
+    // silently empty the (band,bucket) candidate join.
+    existing.select(size(col("sig")).as("k0"), size(col("band_buckets")).as("b0"))
+      .head(1).foreach { r =>
+        if (r.getInt(0) != k || r.getInt(1) != bands)
+          throw new IllegalStateException(
+            s"persisted sketches in $outDir/sketches were built with k=${r.getInt(0)}/" +
+              s"bands=${r.getInt(1)} but this stream runs k=$k/bands=$bands — " +
+              "signature agreement would be silently wrong; rebuild or match parameters")
+      }
     val newSk = DedupOps.sketches(batch, k, bands)
       .select("doc_id", "sig", "band_buckets").cache()
     try {
       newSk.write.mode("overwrite").parquet(s"$outDir/sketches/batch=$batchId")
+      // A re-crawled doc re-confirming a known near-dup must not append
+      // the pair a second time: first discovery wins, enforced by an
+      // anti-join against every earlier batch's pairs (the pair table is
+      // tiny next to the corpus, so this scan is cheap per batch).
       DedupOps.incrementalPairsFromSketches(existing, newSk, k, threshold)
+        .join(existingPairs(spark, outDir, batchId).select("a", "b"),
+          Seq("a", "b"), "left_anti")
         .write.mode("overwrite").parquet(s"$outDir/pairs/batch=$batchId")
     } finally newSk.unpersist()
   }

@@ -35,7 +35,9 @@ class DedupStreamSpec extends AnyFunSuite {
       .write.mode("append").parquet(docsDir)
 
     val q = DedupStream.run(spark, docsDir, outDir, maxFilesPerTrigger = 1)
-    q.awaitTermination(120000)
+    // a false return means the query is still running (or hung) — read
+    // nothing, fail with the real cause instead of a partial-output diff
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
 
     val streamed = spark.read.parquet(s"$outDir/pairs")
       .select("a", "b").as[(Long, Long)].collect().toSet
@@ -65,6 +67,54 @@ class DedupStreamSpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(after == before, s"replay changed the pair set: $after vs $before")
     assert(!after.exists(p => p._1 == p._2), s"self-pair leaked: $after")
+  }
+
+  test("a crashed first batch (_temporary only, nothing committed) replays cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupcrash").toString
+    val outDir = s"$dir/out"
+    // simulate batch 0 dying mid-write: the partition dir exists but holds
+    // only the uncommitted _temporary dir — no data file
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$outDir/sketches/batch=0/_temporary"))
+    DedupStream.dedupBatch(corpus.take(3).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    assert(spark.read.parquet(s"$outDir/sketches").count() == 3)
+  }
+
+  test("a sketches dir without batch= partitions fails loudly, not as empty") {
+    val dir = java.nio.file.Files.createTempDirectory("deduplayout").toString
+    val outDir = s"$dir/out"
+    corpus.take(2).toDF("doc_id", "text").write.parquet(s"$outDir/sketches")
+    val e = intercept[IllegalStateException] {
+      DedupStream.dedupBatch(corpus.drop(3).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    }
+    assert(e.getMessage.contains("batch="), e.getMessage)
+  }
+
+  test("a bands drift against the persisted table fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupbands").toString
+    val outDir = s"$dir/out"
+    DedupStream.dedupBatch(corpus.take(3).toDF("doc_id", "text"), 0L, outDir, 0.5,
+      k = 64, bands = 16)
+    val e = intercept[IllegalStateException] {
+      DedupStream.dedupBatch(corpus.drop(3).toDF("doc_id", "text"), 1L, outDir, 0.5,
+        k = 64, bands = 8)
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
+  }
+
+  test("a re-crawl re-confirming a known near-dup pair does not duplicate it") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupreconfirm").toString
+    val outDir = s"$dir/out"
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word100", "replaced")
+    DedupStream.dedupBatch(Seq((10L, base)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    DedupStream.dedupBatch(Seq((20L, near)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    // doc 10 re-crawled unchanged: it meets doc 20 again via LSH, but the
+    // (10,20) pair is already recorded in batch 1 — first discovery wins
+    DedupStream.dedupBatch(Seq((10L, base)).toDF("doc_id", "text"), 2L, outDir, 0.5)
+    val pairs = spark.read.parquet(s"$outDir/pairs")
+      .select("a", "b").as[(Long, Long)].collect().toList
+    assert(pairs == List((10L, 20L)), s"expected exactly one (10,20) row: $pairs")
   }
 
   test("a re-crawled doc_id meets its own earlier sketch without self-pairing") {
