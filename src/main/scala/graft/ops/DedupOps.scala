@@ -88,17 +88,66 @@ object DedupOps {
       .select(col("doc_id"), col("sig"),
         posexplode(col("band_buckets")).as(Seq("band", "bucket")))
 
+  /** Default per-(band,bucket) occupancy cap for LSH candidate
+    * generation. Never reached at the test SFs; at web scale it bounds
+    * the one quadratic blow-up LSH has. */
+  val DefaultMaxBucket = 4096
+
+  /** Candidate (a, b, siga, sigb) pairs from LSH bucket rows with a
+    * HOT-BUCKET GUARD — the dedup analogue of the adjacency hub cap.
+    * Docs sharing a (band, bucket) agree on an entire band of minhashes,
+    * so a bucket holding B docs is a family of near-identical pages
+    * (web boilerplate puts B in the millions) and the naive self-join
+    * materializes B²/2 pairs — the one quadratic term in the whole dedup
+    * stack and a task-killer at 100 TB. Buckets at or under `maxBucket`
+    * keep the exact all-pairs join; buckets over it degrade to STAR
+    * edges against the bucket's min-doc_id representative: O(B) pairs
+    * that link every member into the same connected component (the
+    * downstream resolution semantics), with the signature-estimate
+    * filter still applied per edge. The guard costs one extra
+    * per-bucket aggregation (map-side partial: the shuffle carries one
+    * count + one representative sig per bucket per map task) plus
+    * anti/inner joins against the tiny hot-bucket set; with no hot
+    * buckets the output is identical to the unguarded join. */
+  private def boundedBucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    // One agg computes both the occupancy count and the representative
+    // (min doc_id, with its sig carried by min_by so the star side needs
+    // no second lookup join); only over-full buckets survive the filter,
+    // so `hot` is tiny (each row needed >maxBucket docs) and AQE turns
+    // the joins against it into broadcasts.
+    val hot = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("rep"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("bucket"),
+        col("rep.doc_id").as("a"), col("rep.sig").as("siga"))
+    val cold = buckets.join(hot.select("band", "bucket"), Seq("band", "bucket"), "left_anti")
+    val coldPairs = cold
+      .select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
+      .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sigb")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+    // orientation holds by construction: the representative is the
+    // bucket minimum, so a < b for every star edge
+    val starPairs = buckets.join(hot, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"), col("siga"), col("sig").as("sigb"))
+    coldPairs.select(col("a"), col("b"), col("siga"), col("sigb"))
+      .unionByName(starPairs)
+  }
+
   /** MinHash-LSH near-dup candidate pairs with the signature-estimated
     * Jaccard: self-join on (band, bucket) — an equi-join, so
     * sort-merge/AQE applies — then estimate agreement over the k
     * materialized signature entries (small arrays; zip_with over a
-    * materialized column is cheap, unlike round 1's recompute-per-seed). */
+    * materialized column is cheap, unlike round 1's recompute-per-seed).
+    * Over-full buckets are star-linked, not all-paired — see
+    * [[boundedBucketPairs]]. */
   def minhashNearDups(documents: DataFrame, k: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
-    val buckets = lshBuckets(documents, k, bands)
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
-    val pairs = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+                      threshold: Double = 0.5,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = boundedBucketPairs(lshBuckets(documents, k, bands), maxBucket)
       .dropDuplicates("a", "b")
     val agree = aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
@@ -109,14 +158,12 @@ object DedupOps {
   }
 
   /** LSH candidates (no estimate filter): all (a, b) pairs sharing any
-    * band bucket. Input to exact verification. */
-  def minhashCandidates(documents: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
-    val buckets = lshBuckets(documents, k, bands).select(col("band"), col("bucket"), col("doc_id"))
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+    * band bucket, hot buckets star-linked ([[boundedBucketPairs]]).
+    * Input to exact verification. */
+  def minhashCandidates(documents: DataFrame, k: Int = 64, bands: Int = 16,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    boundedBucketPairs(lshBuckets(documents, k, bands), maxBucket)
       .select(col("a"), col("b")).dropDuplicates("a", "b")
-  }
 
   /** Exact shingle-set Jaccard for candidate pairs (never all-pairs — the
     * LSH candidate set bounds the join). Jaccard is computed on 64-bit

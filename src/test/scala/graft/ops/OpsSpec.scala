@@ -66,6 +66,37 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated doc joined: $pairs")
   }
 
+  test("hot-bucket guard: over-full buckets star-link, cold buckets keep all pairs") {
+    // 6 identical docs (every band bucket holds all 6 > maxBucket=4: hot)
+    // plus a near-dup pair in its own cold buckets and one unrelated doc.
+    val boiler = (1L to 6L).map(i =>
+      (i, "identical boilerplate page body repeated across the whole crawl frontier", "en"))
+    val mixed = (boiler ++ Seq(
+      (20L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+      (21L, "the quick brown fox jumps over the lazy dog and walks away fast", "en"),
+      (30L, "completely unrelated text about spark catalyst optimizer internals", "en")
+    )).toDF("doc_id", "text", "lang")
+
+    val guarded = DedupOps.minhashNearDups(mixed, k = 16, bands = 16,
+      threshold = 0.25, maxBucket = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // hot family: exactly the 5 star edges against representative 1
+    assert((2L to 6L).forall(j => guarded.contains((1L, j))), guarded)
+    assert(!guarded.exists(p => p._1 > 1L && p._2 <= 6L),
+      s"hot bucket must not emit non-star pairs: $guarded")
+    // cold path untouched: the near-dup pair is still found, unrelated doc absent
+    assert(guarded.contains((20L, 21L)), guarded)
+    assert(!guarded.exists(p => p._1 == 30L || p._2 == 30L), guarded)
+    // downstream components identical to the unguarded all-pairs result
+    val unguarded = DedupOps.minhashNearDups(mixed, k = 16, bands = 16,
+      threshold = 0.25, maxBucket = Int.MaxValue)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(unguarded.count(p => p._2 <= 6L) == 15, s"clique expected unguarded: $unguarded")
+    def comps(ps: Set[(Long, Long)]) = DedupOps.dedupComponents(
+      ps.toSeq.toDF("a", "b")).as[(Long, Long)].collect().toMap
+    assert(comps(guarded) == comps(unguarded), "guard must preserve components")
+  }
+
   test("simhash near-dups: identical docs have hamming 0") {
     val pairs = DedupOps.simhashNearDups(docs)
       .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
