@@ -216,8 +216,11 @@ object DedupOps {
     * (already in `existingPairs`), new×old, and new×new — the latter two
     * are exactly what this computes, with the same signature-estimate
     * filter, so incremental output == full rebuild output (OpsSpec
-    * asserts pair-set and component equality). Assumes new doc_ids are
-    * disjoint from existing ones (append semantics). */
+    * asserts pair-set and component equality) whenever no (band, bucket)
+    * exceeds the hot-bucket cap; over the cap both paths degrade to
+    * star edges that preserve components but may differ pairwise
+    * (the caps see per-batch vs whole-corpus occupancy). Assumes new
+    * doc_ids are disjoint from existing ones (append semantics). */
   def incrementalMinhashNearDups(existingSketches: DataFrame, existingPairs: DataFrame,
                                  newDocs: DataFrame, k: Int = 64, bands: Int = 16,
                                  threshold: Double = 0.5): (DataFrame, DataFrame) = {
@@ -252,7 +255,9 @@ object DedupOps {
     * the result is deterministic instead of whichever duplicate a
     * dropDuplicates happened to keep (review r4b). */
   def incrementalPairsFromSketches(existingSketches: DataFrame, newSketches: DataFrame,
-                                   k: Int = 64, threshold: Double = 0.5): DataFrame = {
+                                   k: Int = 64, threshold: Double = 0.5,
+                                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     val oldWithBatch =
       if (existingSketches.columns.contains("batch"))
         existingSketches.select(col("doc_id"), col("sig"), col("band_buckets"),
@@ -266,18 +271,42 @@ object DedupOps {
       // the new batch supersedes every persisted sketch by definition
       .withColumn("obatch", lit(Long.MaxValue)))
     val ob = buckets(oldWithBatch)
-    val nx = nb.select(col("band"), col("bucket"), col("doc_id").as("x"), col("sig").as("sx"))
-    val newNew = nx.join(
-      nb.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy"),
-        col("obatch")),
-      Seq("band", "bucket")).filter(col("x") < col("y"))
+    // HOT-BUCKET GUARD, incremental form (same bound as
+    // [[boundedBucketPairs]]): a side whose (band, bucket) occupancy
+    // exceeds `maxBucket` contributes only its representative to the
+    // new×old join — the cross join of a boilerplate family in the
+    // corpus table with the same family in a batch is otherwise
+    // |old|×|new| rows per band. Components are preserved: every member
+    // of a hot bucket is (or was, in an earlier batch's output) linked
+    // to its side's representative, so rep↔otherSide edges connect the
+    // families. The representative is the min doc_id — for the old side
+    // with its LATEST sketch, consistent with the latest-wins rule below.
+    def capSide(side: DataFrame): DataFrame = {
+      val hotReps = side.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min_by(struct(col("doc_id"), col("sig"), col("obatch")),
+            struct(col("doc_id"), (-col("obatch")).as("nb"))).as("rep"))
+        .filter(col("n") > maxBucket)
+        .select(col("band"), col("bucket"), col("rep.doc_id").as("doc_id"),
+          col("rep.sig").as("sig"), col("rep.obatch").as("obatch"))
+      side.join(hotReps.select("band", "bucket"), Seq("band", "bucket"), "left_anti")
+        .select(col("band"), col("bucket"), col("doc_id"), col("sig"), col("obatch"))
+        .unionByName(hotReps)
+    }
+    val nx = capSide(nb).select(col("band"), col("bucket"), col("doc_id").as("x"), col("sig").as("sx"))
+    // new×new goes through the batch guard (star edges for hot buckets)
+    val newNew = boundedBucketPairs(
+      nb.select(col("doc_id"), col("sig"), col("band"), col("bucket")), maxBucket)
+      .select(col("a").as("x"), col("b").as("y"),
+        col("siga").as("sx"), col("sigb").as("sy"), lit(Long.MaxValue).as("obatch"))
     val newOld = nx.join(
-      ob.select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy"),
+      capSide(ob).select(col("band"), col("bucket"), col("doc_id").as("y"), col("sig").as("sy"),
         col("obatch")),
       Seq("band", "bucket"))
       // a re-crawled doc_id meets its own earlier sketch here — that is
       // the same document, not a near-duplicate pair (review r4)
       .filter(col("x") =!= col("y"))
+      .select(col("x"), col("y"), col("sx"), col("sy"), col("obatch"))
     // the signature agreement estimate is symmetric, so orienting the pair
     // as (min, max) after the join needs no sig re-alignment
     val agree = aggregate(

@@ -170,6 +170,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 >= 13L || p._2 >= 13L), s"false positive: $pairs")
   }
 
+  test("incremental hot-bucket guard: new batch star-links through reps") {
+    // 6 identical persisted docs (hot at cap 4) + 2 identical new docs of
+    // the same family: new x old degrades to rep-to-rep edges, never the
+    // 6x2 cross join, and components still merge into one family.
+    val text = "identical boilerplate page body repeated across the whole crawl frontier"
+    val old = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val fresh = Seq((20L, text), (21L, text)).toDF("doc_id", "text")
+    val oldSk = DedupOps.sketches(old, 16, 16).select("doc_id", "sig", "band_buckets")
+    val newSk = DedupOps.sketches(fresh, 16, 16).select("doc_id", "sig", "band_buckets")
+    val pairs = DedupOps.incrementalPairsFromSketches(oldSk, newSk,
+      k = 16, threshold = 0.25, maxBucket = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // old side capped to rep 1; new side (size 2 <= cap) joins in full
+    assert(pairs == Set((1L, 20L), (1L, 21L), (20L, 21L)), pairs)
+    // prior batches' edges (old clique / old stars) + these rep edges
+    // resolve to ONE component
+    val oldPairs = DedupOps.minhashNearDups(old, k = 16, bands = 16,
+      threshold = 0.25, maxBucket = 4).select("a", "b").as[(Long, Long)].collect().toSet
+    val comps = DedupOps.dedupComponents((oldPairs ++ pairs).toSeq.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(1L) && comps.keySet == (1L to 6L).toSet + 20L + 21L, comps)
+  }
+
   test("incremental near-dups: appending a batch equals a full rebuild") {
     // corpus with cross-batch near-dups: 20 is a near-dup of 10 (old),
     // 21 duplicates 20 (new x new), 22 is unrelated
