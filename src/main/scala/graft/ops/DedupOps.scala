@@ -84,9 +84,25 @@ object DedupOps {
   /** LSH bucket rows: (doc_id, sig, band, bucket) — the equi-join key
     * space for candidate generation. */
   def lshBuckets(documents: DataFrame, k: Int = 64, bands: Int = 16): DataFrame =
+    explodeBuckets(sketches(documents, k, bands))
+
+  private def explodeBuckets(sk: DataFrame): DataFrame =
+    sk.select(col("doc_id"), col("sig"),
+      posexplode(col("band_buckets")).as(Seq("band", "bucket")))
+
+  /** Sketch once, reference many: the guarded candidate generator
+    * references its bucket frame from several plan branches (count,
+    * anti-join, hot join), and each physical occurrence would re-run the
+    * tokenize+minhash pass over the documents. Checkpointing the COMPACT
+    * per-doc sketch frame (one ~0.5 KB row per document, not the ×bands
+    * explode) bounds that to exactly one pass; the explode re-runs per
+    * branch but is a trivial narrow op over checkpointed rows. Blocks
+    * are reclaimed by the ContextCleaner once the result is unreferenced
+    * (same lifecycle as [[dedupComponents]]). At corpus scale callers
+    * skip this entirely by persisting sketches as an aux table. */
+  private def checkpointedSketches(documents: DataFrame, k: Int, bands: Int): DataFrame =
     sketches(documents, k, bands)
-      .select(col("doc_id"), col("sig"),
-        posexplode(col("band_buckets")).as(Seq("band", "bucket")))
+      .select("doc_id", "sig", "band_buckets").localCheckpoint(true)
 
   /** Default per-(band,bucket) occupancy cap for LSH candidate
     * generation. Never reached at the test SFs; at web scale it bounds
@@ -104,33 +120,35 @@ object DedupOps {
     * edges against the bucket's min-doc_id representative: O(B) pairs
     * that link every member into the same connected component (the
     * downstream resolution semantics), with the signature-estimate
-    * filter still applied per edge. The guard costs one extra
-    * per-bucket aggregation (map-side partial: the shuffle carries one
-    * count + one representative sig per bucket per map task) plus
-    * anti/inner joins against the tiny hot-bucket set; with no hot
-    * buckets the output is identical to the unguarded join. */
+    * filter still applied per edge. The guard costs one keys-only
+    * count shuffle plus anti/inner joins against the tiny hot-bucket
+    * set; with no hot buckets the output is identical to the
+    * unguarded join. */
   private def boundedBucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
-    // One agg computes both the occupancy count and the representative
-    // (min doc_id, with its sig carried by min_by so the star side needs
-    // no second lookup join); only over-full buckets survive the filter,
-    // so `hot` is tiny (each row needed >maxBucket docs) and AQE turns
-    // the joins against it into broadcasts.
-    val hot = buckets.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("n"),
-        min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("rep"))
-      .filter(col("n") > maxBucket)
-      .select(col("band"), col("bucket"),
-        col("rep.doc_id").as("a"), col("rep.sig").as("siga"))
-    val cold = buckets.join(hot.select("band", "bucket"), Seq("band", "bucket"), "left_anti")
+    // Hot detection is KEYS-ONLY: the count agg prunes to (band, bucket)
+    // — 16-byte shuffle rows, never the 512-byte signatures (the first
+    // cut of this guard ran min_by(sig) in this agg and shuffled the
+    // whole signature column; with near-unique buckets partial agg
+    // doesn't reduce that). Only over-full buckets survive the filter,
+    // so `hotKeys` is tiny and AQE broadcasts the joins against it.
+    val hotKeys = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
+    val cold = buckets.join(hotKeys, Seq("band", "bucket"), "left_anti")
     val coldPairs = cold
       .select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
       .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sigb")),
         Seq("band", "bucket"))
       .filter(col("a") < col("b"))
+    // signatures enter an agg only here, restricted to hot-bucket rows
+    val hotRows = buckets.join(hotKeys, Seq("band", "bucket"))
+    val reps = hotRows.groupBy("band", "bucket")
+      .agg(min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("rep"))
+      .select(col("band"), col("bucket"),
+        col("rep.doc_id").as("a"), col("rep.sig").as("siga"))
     // orientation holds by construction: the representative is the
     // bucket minimum, so a < b for every star edge
-    val starPairs = buckets.join(hot, Seq("band", "bucket"))
+    val starPairs = hotRows.join(reps, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("a"))
       .select(col("a"), col("doc_id").as("b"), col("siga"), col("sig").as("sigb"))
     coldPairs.select(col("a"), col("b"), col("siga"), col("sigb"))
@@ -147,7 +165,8 @@ object DedupOps {
   def minhashNearDups(documents: DataFrame, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = boundedBucketPairs(lshBuckets(documents, k, bands), maxBucket)
+    val pairs = boundedBucketPairs(
+      explodeBuckets(checkpointedSketches(documents, k, bands)), maxBucket)
       .dropDuplicates("a", "b")
     val agree = aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
@@ -162,7 +181,8 @@ object DedupOps {
     * Input to exact verification. */
   def minhashCandidates(documents: DataFrame, k: Int = 64, bands: Int = 16,
                         maxBucket: Int = DefaultMaxBucket): DataFrame =
-    boundedBucketPairs(lshBuckets(documents, k, bands), maxBucket)
+    boundedBucketPairs(
+      explodeBuckets(checkpointedSketches(documents, k, bands)), maxBucket)
       .select(col("a"), col("b")).dropDuplicates("a", "b")
 
   /** Exact shingle-set Jaccard for candidate pairs (never all-pairs — the
@@ -267,7 +287,13 @@ object DedupOps {
           lit(0L).as("obatch"))
     def buckets(df: DataFrame) = df.select(col("doc_id"), col("sig"), col("obatch"),
       posexplode(col("band_buckets")).as(Seq("band", "bucket")))
+    // The guard references each side from several branches; checkpoint
+    // the NEW side (bounded: one batch) so an uncached caller frame is
+    // sketched once. The old side is re-evaluated per branch instead —
+    // at scale it is a persisted sketch table whose re-scan is cheap,
+    // and copying the whole corpus table per batch would not be.
     val nb = buckets(newSketches.select(col("doc_id"), col("sig"), col("band_buckets"))
+      .localCheckpoint(true)
       // the new batch supersedes every persisted sketch by definition
       .withColumn("obatch", lit(Long.MaxValue)))
     val ob = buckets(oldWithBatch)
@@ -282,16 +308,19 @@ object DedupOps {
     // families. The representative is the min doc_id — for the old side
     // with its LATEST sketch, consistent with the latest-wins rule below.
     def capSide(side: DataFrame): DataFrame = {
-      val hotReps = side.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("n"),
-          min_by(struct(col("doc_id"), col("sig"), col("obatch")),
-            struct(col("doc_id"), (-col("obatch")).as("nb"))).as("rep"))
-        .filter(col("n") > maxBucket)
+      // keys-only occupancy count (16-byte shuffle rows); signatures
+      // only enter the rep agg below, restricted to hot-bucket rows
+      val hotKeys = side.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
+      val kept = side.join(hotKeys, Seq("band", "bucket"), "left_anti")
+        .select(col("band"), col("bucket"), col("doc_id"), col("sig"), col("obatch"))
+      val reps = side.join(hotKeys, Seq("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(min_by(struct(col("doc_id"), col("sig"), col("obatch")),
+          struct(col("doc_id"), (-col("obatch")).as("nb"))).as("rep"))
         .select(col("band"), col("bucket"), col("rep.doc_id").as("doc_id"),
           col("rep.sig").as("sig"), col("rep.obatch").as("obatch"))
-      side.join(hotReps.select("band", "bucket"), Seq("band", "bucket"), "left_anti")
-        .select(col("band"), col("bucket"), col("doc_id"), col("sig"), col("obatch"))
-        .unionByName(hotReps)
+      kept.unionByName(reps)
     }
     val nx = capSide(nb).select(col("band"), col("bucket"), col("doc_id").as("x"), col("sig").as("sx"))
     // new×new goes through the batch guard (star edges for hot buckets)
