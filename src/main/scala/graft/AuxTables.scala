@@ -29,7 +29,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r4b"
+  private val Version = "r4c"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -104,10 +104,14 @@ object AuxTables {
       .coalesce(4).write.mode("overwrite").parquet(s"$d/big_dict")
 
     // 3. simhash signatures + minhash near-dup pairs of the sf documents
+    //    — ONE sketch pass feeds both artifacts (checkpointed: the pair
+    //    generator references its input from several plan branches)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    DedupOps.sketches(docs).select("doc_id", "simhash")
+    val sk = DedupOps.sketches(docs).localCheckpoint(true)
+    sk.select("doc_id", "simhash")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/simhash_sigs")
-    DedupOps.minhashNearDups(docs, k = 64, bands = 16, threshold = 0.5)
+    DedupOps.minhashNearDupsFromSketches(
+        sk.select("doc_id", "sig", "band_buckets"), k = 64, threshold = 0.5)
       .select("a", "b")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/neardup_pairs")
 

@@ -229,12 +229,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val old = docs.filter(col("doc_id") % 2 === 0)
       val fresh = docs.filter(col("doc_id") % 2 === 1)
-      // checkpoint: the incremental guard references the old side from
-      // several branches, and an unpersisted computed frame would re-run
-      // the sketch pass per branch (a persisted aux table at real scale)
+      // checkpoint once: the incremental guard references the old side
+      // from several branches (a persisted aux table at real scale), and
+      // the pair build below reuses the SAME frame instead of paying a
+      // second sketch pass through minhashNearDups(old)
       val oldSk = DedupOps.sketches(old).select("doc_id", "sig", "band_buckets")
         .localCheckpoint(true)
-      val oldPairs = DedupOps.minhashNearDups(old, threshold = 0.5)
+      val oldPairs = DedupOps.minhashNearDupsFromSketches(oldSk, threshold = 0.5)
       val (_, allPairs) =
         DedupOps.incrementalMinhashNearDups(oldSk, oldPairs, fresh, threshold = 0.5)
       allPairs.select(col("a"), col("b")).orderBy(col("a"), col("b"))

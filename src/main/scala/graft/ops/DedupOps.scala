@@ -99,7 +99,9 @@ object DedupOps {
     * branch but is a trivial narrow op over checkpointed rows. Blocks
     * are reclaimed by the ContextCleaner once the result is unreferenced
     * (same lifecycle as [[dedupComponents]]). At corpus scale callers
-    * skip this entirely by persisting sketches as an aux table. */
+    * skip this entirely (localCheckpoint blocks are unreplicated —
+    * wrong durability for a whole-corpus artifact): persist sketches as
+    * an aux table and call the `FromSketches` variants instead. */
   private def checkpointedSketches(documents: DataFrame, k: Int, bands: Int): DataFrame =
     sketches(documents, k, bands)
       .select("doc_id", "sig", "band_buckets").localCheckpoint(true)
@@ -118,22 +120,43 @@ object DedupOps {
     * stack and a task-killer at 100 TB. Buckets at or under `maxBucket`
     * keep the exact all-pairs join; buckets over it degrade to STAR
     * edges against the bucket's min-doc_id representative: O(B) pairs
-    * that link every member into the same connected component (the
-    * downstream resolution semantics), with the signature-estimate
-    * filter still applied per edge. The guard costs one keys-only
-    * count shuffle plus anti/inner joins against the tiny hot-bucket
-    * set; with no hot buckets the output is identical to the
-    * unguarded join. */
-  private def boundedBucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    * instead of B²/2. The guard costs one keys-only count shuffle plus
+    * anti/inner joins against the tiny hot-bucket set; with no hot
+    * buckets the output is identical to the unguarded join.
+    *
+    * Semantics of the degradation (a deliberate recall trade, stated
+    * precisely): downstream filters apply the signature-estimate
+    * threshold per edge, so a hot bucket's members stay in one
+    * connected component exactly when their estimate against the
+    * REPRESENTATIVE passes the threshold — true for the boilerplate
+    * families that create hot buckets (near-identical signatures), NOT
+    * guaranteed for a heterogeneous over-full bucket, where two members
+    * similar to each other but not to the rep lose their pair (bucket
+    * membership alone only certifies agreement on 1/bands of the
+    * signature). The unguarded join would keep such pairs; the guard
+    * trades them for boundedness. Size `maxBucket` so genuine near-dup
+    * clusters below it are untouched. */
+  /** Over-full (band, bucket) keys. KEYS-ONLY by design: the count agg
+    * prunes to (band, bucket) [+ doc_id when `distinctDocs`] — 16-byte
+    * shuffle rows, never the 512-byte signatures (the first cut of the
+    * guard ran min_by(sig) here and shuffled the whole signature
+    * column; with near-unique buckets partial agg doesn't reduce that).
+    * Only over-full buckets survive the filter, so the result is tiny
+    * and AQE broadcasts the joins against it. `distinctDocs` counts
+    * distinct doc_ids instead of rows — needed when the input can carry
+    * several sketches per doc (re-crawled ids in a corpus sketch table
+    * with compaction deferred), where raw row counts would flip a
+    * few-doc bucket hot and needlessly degrade it. */
+  private def hotBucketKeys(rows: DataFrame, maxBucket: Int,
+                            distinctDocs: Boolean): DataFrame = {
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
-    // Hot detection is KEYS-ONLY: the count agg prunes to (band, bucket)
-    // — 16-byte shuffle rows, never the 512-byte signatures (the first
-    // cut of this guard ran min_by(sig) in this agg and shuffled the
-    // whole signature column; with near-unique buckets partial agg
-    // doesn't reduce that). Only over-full buckets survive the filter,
-    // so `hotKeys` is tiny and AQE broadcasts the joins against it.
-    val hotKeys = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val n = if (distinctDocs) countDistinct(col("doc_id")) else count(lit(1))
+    rows.groupBy("band", "bucket").agg(n.as("n"))
       .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
+  }
+
+  private def boundedBucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val hotKeys = hotBucketKeys(buckets, maxBucket, distinctDocs = false)
     val cold = buckets.join(hotKeys, Seq("band", "bucket"), "left_anti")
     val coldPairs = cold
       .select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
@@ -164,9 +187,19 @@ object DedupOps {
     * [[boundedBucketPairs]]. */
   def minhashNearDups(documents: DataFrame, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = boundedBucketPairs(
-      explodeBuckets(checkpointedSketches(documents, k, bands)), maxBucket)
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashNearDupsFromSketches(
+      checkpointedSketches(documents, k, bands), k, threshold, maxBucket)
+
+  /** [[minhashNearDups]] over an ALREADY-BUILT sketch frame
+    * (doc_id, sig, band_buckets) — the corpus-scale entry point: pass
+    * the persisted sketch aux table (or any cached/checkpointed frame)
+    * and nothing is re-sketched or copied. `k` must match the sketch's
+    * signature length (it scales the estimate). */
+  def minhashNearDupsFromSketches(sk: DataFrame, k: Int = 64,
+                                  threshold: Double = 0.5,
+                                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = boundedBucketPairs(explodeBuckets(sk), maxBucket)
       .dropDuplicates("a", "b")
     val agree = aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
@@ -181,8 +214,12 @@ object DedupOps {
     * Input to exact verification. */
   def minhashCandidates(documents: DataFrame, k: Int = 64, bands: Int = 16,
                         maxBucket: Int = DefaultMaxBucket): DataFrame =
-    boundedBucketPairs(
-      explodeBuckets(checkpointedSketches(documents, k, bands)), maxBucket)
+    minhashCandidatesFromSketches(checkpointedSketches(documents, k, bands), maxBucket)
+
+  /** [[minhashCandidates]] over an already-built sketch frame. */
+  def minhashCandidatesFromSketches(sk: DataFrame,
+                                    maxBucket: Int = DefaultMaxBucket): DataFrame =
+    boundedBucketPairs(explodeBuckets(sk), maxBucket)
       .select(col("a"), col("b")).dropDuplicates("a", "b")
 
   /** Exact shingle-set Jaccard for candidate pairs (never all-pairs — the
@@ -212,8 +249,9 @@ object DedupOps {
     * round 3 closed the gap between this docstring's promise and the
     * code, which used to re-shingle every document). */
   def verifiedNearDups(documents: DataFrame, jaccardThreshold: Double = 0.5,
-                       k: Int = 64, bands: Int = 16): DataFrame = {
-    val candidates = minhashCandidates(documents, k, bands)
+                       k: Int = 64, bands: Int = 16,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val candidates = minhashCandidates(documents, k, bands, maxBucket)
     val candIds = candidates.select(col("a").as("cid"))
       .union(candidates.select(col("b").as("cid"))).distinct()
     val candDocs = documents.join(candIds,
@@ -243,9 +281,10 @@ object DedupOps {
     * doc_ids are disjoint from existing ones (append semantics). */
   def incrementalMinhashNearDups(existingSketches: DataFrame, existingPairs: DataFrame,
                                  newDocs: DataFrame, k: Int = 64, bands: Int = 16,
-                                 threshold: Double = 0.5): (DataFrame, DataFrame) = {
+                                 threshold: Double = 0.5,
+                                 maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
     val (newSk, newPairs) =
-      incrementalMinhashDelta(existingSketches, newDocs, k, bands, threshold)
+      incrementalMinhashDelta(existingSketches, newDocs, k, bands, threshold, maxBucket)
     (existingSketches.select("doc_id", "sig", "band_buckets").unionByName(newSk),
       existingPairs.select(col("a"), col("b"), col("jaccard_est")).unionByName(newPairs))
   }
@@ -256,9 +295,10 @@ object DedupOps {
     * batchId-scoped directory so replays stay idempotent). */
   def incrementalMinhashDelta(existingSketches: DataFrame, newDocs: DataFrame,
                               k: Int = 64, bands: Int = 16,
-                              threshold: Double = 0.5): (DataFrame, DataFrame) = {
+                              threshold: Double = 0.5,
+                              maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
     val newSk = sketches(newDocs, k, bands).select("doc_id", "sig", "band_buckets")
-    (newSk, incrementalPairsFromSketches(existingSketches, newSk, k, threshold))
+    (newSk, incrementalPairsFromSketches(existingSketches, newSk, k, threshold, maxBucket))
   }
 
   /** New-batch pair generation against a persisted signature table, both
@@ -273,11 +313,16 @@ object DedupOps {
     * is taken from the LATEST old sketch (max_by over batch on the
     * candidate set only — no extra shuffle over the corpus table), so
     * the result is deterministic instead of whichever duplicate a
-    * dropDuplicates happened to keep (review r4b). */
+    * dropDuplicates happened to keep (review r4b); the remaining tie —
+    * BOTH docs of a pair re-crawled in the same batch pair, giving two
+    * latest rows with opposite new/old roles — breaks deterministically
+    * toward the row whose new-side doc is the pair minimum (review r4c).
+    * `maxBucket` should match the value used for the corpus pair table;
+    * the caps are per-path, so differing values make incremental and
+    * rebuild outputs diverge on buckets between them. */
   def incrementalPairsFromSketches(existingSketches: DataFrame, newSketches: DataFrame,
                                    k: Int = 64, threshold: Double = 0.5,
                                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     val oldWithBatch =
       if (existingSketches.columns.contains("batch"))
         existingSketches.select(col("doc_id"), col("sig"), col("band_buckets"),
@@ -289,11 +334,17 @@ object DedupOps {
       posexplode(col("band_buckets")).as(Seq("band", "bucket")))
     // The guard references each side from several branches; checkpoint
     // the NEW side (bounded: one batch) so an uncached caller frame is
-    // sketched once. The old side is re-evaluated per branch instead —
-    // at scale it is a persisted sketch table whose re-scan is cheap,
-    // and copying the whole corpus table per batch would not be.
-    val nb = buckets(newSketches.select(col("doc_id"), col("sig"), col("band_buckets"))
-      .localCheckpoint(true)
+    // sketched once — unless the caller already persisted it
+    // (DedupStream caches the batch sketches; copying them again would
+    // leave per-micro-batch checkpoint blocks pending driver GC). The
+    // old side is re-evaluated per branch instead — at scale it is a
+    // persisted sketch table whose re-scan is cheap, and copying the
+    // whole corpus table per batch would not be.
+    val newSide =
+      if (newSketches.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        newSketches.select(col("doc_id"), col("sig"), col("band_buckets")).localCheckpoint(true)
+      else newSketches.select(col("doc_id"), col("sig"), col("band_buckets"))
+    val nb = buckets(newSide
       // the new batch supersedes every persisted sketch by definition
       .withColumn("obatch", lit(Long.MaxValue)))
     val ob = buckets(oldWithBatch)
@@ -302,16 +353,19 @@ object DedupOps {
     // exceeds `maxBucket` contributes only its representative to the
     // new×old join — the cross join of a boilerplate family in the
     // corpus table with the same family in a batch is otherwise
-    // |old|×|new| rows per band. Components are preserved: every member
-    // of a hot bucket is (or was, in an earlier batch's output) linked
-    // to its side's representative, so rep↔otherSide edges connect the
-    // families. The representative is the min doc_id — for the old side
-    // with its LATEST sketch, consistent with the latest-wins rule below.
+    // |old|×|new| rows per band. Every member of a hot bucket is (or
+    // was, in an earlier batch's output) linked to its side's
+    // representative, so rep↔otherSide edges connect the families —
+    // subject to the same per-edge threshold caveat spelled out on
+    // [[boundedBucketPairs]] (recall is only guaranteed for members
+    // similar to the rep). The representative is the min doc_id — for
+    // the old side with its LATEST sketch, matching latest-wins below.
     def capSide(side: DataFrame): DataFrame = {
-      // keys-only occupancy count (16-byte shuffle rows); signatures
-      // only enter the rep agg below, restricted to hot-bucket rows
-      val hotKeys = side.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-        .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
+      // occupancy by DISTINCT doc ([[hotBucketKeys]]): stale sketches of
+      // re-crawled ids must not flip a few-doc bucket hot — the B² the
+      // cap bounds is in distinct docs, and the latest-wins agg below
+      // already collapses duplicate pairs
+      val hotKeys = hotBucketKeys(side, maxBucket, distinctDocs = true)
       val kept = side.join(hotKeys, Seq("band", "bucket"), "left_anti")
         .select(col("band"), col("bucket"), col("doc_id"), col("sig"), col("obatch"))
       val reps = side.join(hotKeys, Seq("band", "bucket"))
@@ -343,9 +397,15 @@ object DedupOps {
       lit(0), (acc, v) => acc + v)
     newNew.unionByName(newOld)
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
-        col("sx"), col("sy"), col("obatch"))
+        col("sx"), col("sy"), col("obatch"),
+        // obatch tie-break: when BOTH docs of a pair are in the new
+        // batch and each also matches the other's old sketch, the two
+        // newOld rows carry opposite (new, old) sig pairings at the
+        // same obatch — prefer the row whose new-side doc (x) is the
+        // pair minimum, so the chosen estimate is run-independent
+        when(col("x") < col("y"), lit(1)).otherwise(lit(0)).as("tie"))
       .groupBy(col("a"), col("b"))
-      .agg(max_by(struct(col("sx"), col("sy")), col("obatch")).as("s"))
+      .agg(max_by(struct(col("sx"), col("sy")), struct(col("obatch"), col("tie"))).as("s"))
       .select(col("a"), col("b"), col("s.sx").as("sx"), col("s.sy").as("sy"))
       .withColumn("jaccard_est", agree.cast("double") / lit(k.toDouble))
       .filter(col("jaccard_est") >= threshold)

@@ -49,10 +49,13 @@ object DedupStream {
     * `outDir/pairs` (both batchId-partitioned). `k`/`bands` are the
     * persisted table's sketch parameters — [[dedupBatch]] validates every
     * batch against what is already on disk, so a parameter drift fails
-    * loudly instead of silently depressing signature agreement. */
+    * loudly instead of silently depressing signature agreement.
+    * `maxBucket` is the hot-bucket occupancy cap and should match the
+    * value used to build any corpus pair table this stream extends. */
   def run(spark: SparkSession, docsDir: String, outDir: String,
           maxFilesPerTrigger: Int = 64, threshold: Double = 0.5,
-          k: Int = 64, bands: Int = 16): StreamingQuery =
+          k: Int = 64, bands: Int = 16,
+          maxBucket: Int = DedupOps.DefaultMaxBucket): StreamingQuery =
     spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -62,7 +65,7 @@ object DedupStream {
       .option("checkpointLocation", s"$outDir/checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatch(batch, batchId, outDir, threshold, k, bands)
+        dedupBatch(batch, batchId, outDir, threshold, k, bands, maxBucket)
       }
       .start()
 
@@ -123,7 +126,8 @@ object DedupStream {
     * batchId-scoped. */
   private[streaming] def dedupBatch(batch: DataFrame, batchId: Long, outDir: String,
                                     threshold: Double, k: Int = 64,
-                                    bands: Int = 16): Unit = {
+                                    bands: Int = 16,
+                                    maxBucket: Int = DedupOps.DefaultMaxBucket): Unit = {
     val spark = batch.sparkSession
     val existing = existingSketches(spark, outDir, batchId)
     // Parameter-drift gate on ONE sampled row: every committed batch
@@ -149,7 +153,7 @@ object DedupStream {
       // the pair a second time: first discovery wins, enforced by an
       // anti-join against every earlier batch's pairs (the pair table is
       // tiny next to the corpus, so this scan is cheap per batch).
-      DedupOps.incrementalPairsFromSketches(existing, newSk, k, threshold)
+      DedupOps.incrementalPairsFromSketches(existing, newSk, k, threshold, maxBucket)
         .join(existingPairs(spark, outDir, batchId).select("a", "b"),
           Seq("a", "b"), "left_anti")
         .write.mode("overwrite").parquet(s"$outDir/pairs/batch=$batchId")
