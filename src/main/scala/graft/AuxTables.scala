@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 import java.nio.file.{Files, Paths}
 import graft.ops.{DedupOps, MultimodalOps, VectorOps}
 import graft.pipeline.{GraphMaterialize, PageGen, TripleEmit}
@@ -29,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r4c"
+  private val Version = "r4d"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -114,6 +115,21 @@ object AuxTables {
         sk.select("doc_id", "sig", "band_buckets"), k = 64, threshold = 0.5)
       .select("a", "b")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/neardup_pairs")
+
+    // 3b. minhash sketch table with a PLANTED hot family: 24 identical
+    //     boilerplate docs (ids 1000001..1000024, disjoint from the sf
+    //     range) unioned onto the corpus, so q_dedup_hotbucket exercises
+    //     the hot-bucket guard ACTIVELY (identical docs share every
+    //     (band, bucket); the natural sf corpus never exceeds the test
+    //     cap) while its DuckDB oracle re-derives occupancy, star/cold
+    //     split, and the signature estimate from these rows in SQL
+    val boiler = spark.range(1L, 25L)
+      .select((col("id") + lit(1000000L)).as("doc_id"),
+        lit("graft boilerplate template page body identical across the planted crawl family").as("text"))
+    val hotDocs = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(boiler)
+    DedupOps.sketches(hotDocs).select("doc_id", "sig", "band_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/minhash_sketches_hot")
 
     // 4. keys-only ANN sketch of the sf embeddings table (build once,
     //    probe many — VectorOps.Ann* constants pin the parameters)

@@ -240,6 +240,18 @@ object SparkEntry {
         DedupOps.incrementalMinhashNearDups(oldSk, oldPairs, fresh, threshold = 0.5)
       allPairs.select(col("a"), col("b")).orderBy(col("a"), col("b"))
     }),
+    // hot-bucket guard, ACTIVE: the persisted sketch table carries a
+    // planted 24-doc boilerplate family (AuxTables 3b), so at cap 8
+    // every family bucket is hot and degrades to star edges through the
+    // min-id representative while the natural corpus stays on the exact
+    // cold path. The oracle re-derives occupancy, the star/cold split,
+    // pair dedup, and the signature-agreement estimate from the same
+    // parquet rows in SQL — the guard's semantics, independently.
+    "q_dedup_hotbucket" -> ((s, dir) =>
+      DedupOps.minhashNearDupsFromSketches(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/minhash_sketches_hot"),
+        k = 64, threshold = 0.5, maxBucket = 8)
+        .orderBy(col("a"), col("b"))),
     "q_jaccard_verify" -> ((s, dir) =>
       DedupOps.verifiedNearDups(t(s, dir, "documents"), jaccardThreshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))
@@ -624,6 +636,43 @@ object SparkEntry {
     // exact all-pairs hamming over the same persisted signatures; equality
     // with the Spark side also proves the 4x16-bit banding's pigeonhole
     // completeness at hamming<=3
+    // Re-derives the ENTIRE hot-bucket guard in SQL from the persisted
+    // sketch rows: band explode (fixed bands=16), per-bucket occupancy,
+    // hot split at cap 8, exact all-pairs on cold buckets vs star edges
+    // through min(doc_id) on hot ones, pair dedup, then the k=64
+    // signature-agreement estimate and threshold — nothing is read back
+    // from engine output.
+    "q_dedup_hotbucket" ->
+      """WITH b AS (
+        |  SELECT s.doc_id, s.band_buckets, r.band AS band,
+        |         s.band_buckets[r.band + 1] AS bucket
+        |  FROM read_parquet('{AUX}/minhash_sketches_hot/*.parquet') s
+        |  CROSS JOIN range(0, 16) r(band)),
+        |occ AS (
+        |  SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+        |  FROM b GROUP BY band, bucket),
+        |cold AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM b x
+        |  JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  JOIN occ o ON o.band = x.band AND o.bucket = x.bucket
+        |  WHERE o.n <= 8),
+        |star AS (
+        |  SELECT o.rep AS a, m.doc_id AS b
+        |  FROM b m JOIN occ o ON o.band = m.band AND o.bucket = m.bucket
+        |  WHERE o.n > 8 AND m.doc_id <> o.rep),
+        |pairs AS (
+        |  SELECT DISTINCT a, b FROM (SELECT * FROM cold UNION ALL SELECT * FROM star)),
+        |est AS (
+        |  SELECT p.a, p.b,
+        |    len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 64.0 AS jaccard_est
+        |  FROM pairs p
+        |  JOIN read_parquet('{AUX}/minhash_sketches_hot/*.parquet') sa ON sa.doc_id = p.a
+        |  JOIN read_parquet('{AUX}/minhash_sketches_hot/*.parquet') sb ON sb.doc_id = p.b)
+        |SELECT a, b, jaccard_est FROM est
+        |WHERE jaccard_est >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
     "q_simhash_neardups" ->
       """SELECT x.doc_id AS a, y.doc_id AS b,
         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
