@@ -198,16 +198,19 @@ object DedupOps {
     * signature length (it scales the estimate). */
   def minhashNearDupsFromSketches(sk: DataFrame, k: Int = 64,
                                   threshold: Double = 0.5,
-                                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = boundedBucketPairs(explodeBuckets(sk), maxBucket)
+                                  maxBucket: Int = DefaultMaxBucket): DataFrame =
+    boundedBucketPairs(explodeBuckets(sk), maxBucket)
       .dropDuplicates("a", "b")
-    val agree = aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    pairs
-      .withColumn("jaccard_est", agree.cast("double") / lit(k.toDouble))
+      .withColumn("jaccard_est", jaccardEstimate(col("siga"), col("sigb"), k))
       .filter(col("jaccard_est") >= threshold)
       .select(col("a"), col("b"), col("jaccard_est"))
-  }
+
+  /** Signature-agreement Jaccard estimate over two k-minhash columns —
+    * the one scoring rule every candidate path applies (codegen'd
+    * zip_with/aggregate over small materialized arrays). */
+  def jaccardEstimate(siga: Column, sigb: Column, k: Int): Column =
+    aggregate(zip_with(siga, sigb, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc: Column, v: Column) => acc + v).cast("double") / lit(k.toDouble)
 
   /** LSH candidates (no estimate filter): all (a, b) pairs sharing any
     * band bucket, hot buckets star-linked ([[boundedBucketPairs]]).
@@ -392,9 +395,6 @@ object DedupOps {
       .select(col("x"), col("y"), col("sx"), col("sy"), col("obatch"))
     // the signature agreement estimate is symmetric, so orienting the pair
     // as (min, max) after the join needs no sig re-alignment
-    val agree = aggregate(
-      zip_with(col("sx"), col("sy"), (p, q) => when(p === q, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     newNew.unionByName(newOld)
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
         col("sx"), col("sy"), col("obatch"),
@@ -407,10 +407,34 @@ object DedupOps {
       .groupBy(col("a"), col("b"))
       .agg(max_by(struct(col("sx"), col("sy")), struct(col("obatch"), col("tie"))).as("s"))
       .select(col("a"), col("b"), col("s.sx").as("sx"), col("s.sy").as("sy"))
-      .withColumn("jaccard_est", agree.cast("double") / lit(k.toDouble))
+      .withColumn("jaccard_est", jaccardEstimate(col("sx"), col("sy"), k))
       .filter(col("jaccard_est") >= threshold)
       .select(col("a"), col("b"), col("jaccard_est"))
   }
+
+  /** Latest sketch per document from a batch-stamped sketch table
+    * (doc_id, sig, band_buckets, batch) — the COMPACTION operator for the
+    * append-mode tables [[incrementalPairsFromSketches]] reads: re-crawled
+    * docs leave one superseded sketch per crawl, which grows the table and
+    * widens every candidate join forever. One shuffle on doc_id (max_by
+    * over batch; partial agg collapses duplicates map-side). Precondition:
+    * (doc_id, batch) is unique — true for DedupStream's batch writes —
+    * otherwise the within-batch winner is unspecified.
+    *
+    * Semantics note: compacting is not a no-op on pair OUTPUT — stale
+    * sketches can discover candidates the current version's buckets
+    * would not (their estimate is still scored latest-wins). Dropping
+    * them is the point: a near-dup of a SUPERSEDED version is not a
+    * near-dup of the current document, and pairing against a compacted
+    * table equals pairing against a fresh rebuild of current texts
+    * (DedupStreamSpec asserts exactly that). */
+  def latestSketches(sketchTable: DataFrame): DataFrame =
+    sketchTable
+      .select(col("doc_id"), col("sig"), col("band_buckets"), col("batch").cast("long").as("batch"))
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("sig"), col("band_buckets"), col("batch")), col("batch")).as("r"))
+      .select(col("doc_id"), col("r.sig").as("sig"),
+        col("r.band_buckets").as("band_buckets"), col("r.batch").as("batch"))
 
   // ---------------- near-dup cluster resolution ----------------
 

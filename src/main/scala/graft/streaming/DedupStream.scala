@@ -118,6 +118,110 @@ object DedupStream {
                                        excludeBatch: Long): DataFrame =
     committedDelta(spark, s"$outDir/pairs", pairSchema, excludeBatch)
 
+  /** Compact `outDir/sketches` to each doc's LATEST sketch
+    * ([[DedupOps.latestSketches]]), rewriting the table in place with the
+    * batchId partitioning preserved so the stream's readers and replay
+    * guards keep working unchanged. Run it BETWEEN drains — AvailableNow
+    * streams terminate after a drain, and compacting under a live writer
+    * would race the swap. Without periodic compaction, re-crawled docs
+    * grow the signature table by one superseded row per crawl forever.
+    *
+    * Swap protocol (crash-recoverable at every step): write the compacted
+    * table to `sketches.compact-tmp`, verify its committed row count
+    * equals the distinct-doc count, rename the live table to
+    * `sketches.pre-compact`, rename tmp into place, then delete the
+    * backup. A crash mid-swap leaves either the live table untouched (+
+    * stale tmp, overwritten on retry) or the backup + tmp pair, from
+    * which a re-run completes the swap; the backup is only deleted after
+    * the new table is live. Returns the compacted row count. */
+  def compactSketches(spark: SparkSession, outDir: String): Long = {
+    recoverTable(spark, s"$outDir/sketches")
+    val all = existingSketches(spark, outDir, excludeBatch = -1L)
+    rewriteInPlace(spark, s"$outDir/sketches",
+      DedupOps.latestSketches(all),
+      expectedRows = () => all.select("doc_id").distinct().count())
+  }
+
+  /** Re-score every recorded pair against each doc's LATEST sketch and
+    * drop pairs no longer over threshold — compaction's semantic
+    * companion: first-discovery-wins keeps a pair recorded even after a
+    * re-crawl changes one document past similarity, so without
+    * revalidation the pair table accumulates verdicts about superseded
+    * page versions. After compactSketches + revalidatePairs, every
+    * surviving pair is over threshold on CURRENT texts with its estimate
+    * refreshed — a from-scratch rebuild's verdict, up to LSH recall (a
+    * pair first discovered through a superseded version's buckets is
+    * kept if still over threshold, even where a rebuild's banding would
+    * miss it; revalidation never keeps an under-threshold pair). Same
+    * run-between-drains and crash-recovery contract as
+    * [[compactSketches]]. Returns the surviving pair count. */
+  def revalidatePairs(spark: SparkSession, outDir: String,
+                      k: Int = 64, threshold: Double = 0.5): Long = {
+    recoverTable(spark, s"$outDir/pairs")
+    recoverTable(spark, s"$outDir/sketches")
+    val latest = DedupOps.latestSketches(
+      existingSketches(spark, outDir, excludeBatch = -1L))
+    val pairs = existingPairs(spark, outDir, excludeBatch = -1L)
+    val rescored = pairs.select(col("a"), col("b"), col("batch"))
+      .join(latest.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(latest.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .withColumn("jaccard_est", DedupOps.jaccardEstimate(col("siga"), col("sigb"), k))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("a"), col("b"), col("jaccard_est"), col("batch"))
+    rewriteInPlace(spark, s"$outDir/pairs", rescored, expectedRows = null)
+  }
+
+  /** Crash-recoverable in-place rewrite of a batchId-partitioned table:
+    * write `replacement` to `<table>.compact-tmp`, optionally verify its
+    * committed row count, rename the live table to `<table>.pre-compact`,
+    * rename tmp into place, delete the backup. A crash mid-swap leaves
+    * either the live table untouched (+ stale tmp, overwritten on retry)
+    * or the backup/tmp pair, from which a re-run completes the swap; the
+    * backup is only deleted after the new table is live. */
+  /** Crash recovery for [[rewriteInPlace]] — MUST run before the caller
+    * READS the live table (the replacement frame is built from it; doing
+    * recovery inside the rewrite would build the replacement from a
+    * missing dir). If a previous swap died after moving the live table
+    * away, restore one: prefer tmp (the verified replacement), else the
+    * backup. */
+  private def recoverTable(spark: SparkSession, table: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(table)
+    val tmp = new org.apache.hadoop.fs.Path(s"$table.compact-tmp")
+    val backup = new org.apache.hadoop.fs.Path(s"$table.pre-compact")
+    if (!fs.exists(live)) {
+      if (fs.exists(tmp)) { require(fs.rename(tmp, live), s"rename $tmp -> $live failed") }
+      else if (fs.exists(backup)) { require(fs.rename(backup, live), s"rename $backup -> $live failed") }
+      else throw new IllegalStateException(s"$live does not exist and no recovery dirs found")
+    }
+  }
+
+  private def rewriteInPlace(spark: SparkSession, table: String,
+                             replacement: DataFrame,
+                             expectedRows: () => Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(table)
+    val tmp = new org.apache.hadoop.fs.Path(s"$table.compact-tmp")
+    val backup = new org.apache.hadoop.fs.Path(s"$table.pre-compact")
+    require(fs.exists(live), s"$live must exist (recoverTable runs first)")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    replacement.write.partitionBy("batch").mode("overwrite").parquet(tmp.toString)
+    val written = spark.read.parquet(tmp.toString).count()
+    if (expectedRows != null) {
+      val expected = expectedRows()
+      if (written != expected)
+        throw new IllegalStateException(
+          s"rewrite of $table produced $written rows, expected $expected — aborting before swap")
+    }
+    if (fs.exists(backup)) fs.delete(backup, true)
+    require(fs.rename(live, backup), s"rename $live -> $backup failed")
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    fs.delete(backup, true)
+    written
+  }
+
   /** One micro-batch: sketch the batch ONCE (cached across the two
     * writes — foreachBatch frames recompute per action, and the
     * tokenize+minhash pass over document text must not run 3-4 times),

@@ -117,6 +117,72 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(pairs == List((10L, 20L)), s"expected exactly one (10,20) row: $pairs")
   }
 
+  test("compaction keeps each doc's latest sketch and preserves stream recovery") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupcompact").toString
+    val outDir = s"$dir/out"
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    val v2 = base.replace("word100", "replaced")
+    // doc 10 crawled twice (text changed), doc 12 once
+    DedupStream.dedupBatch(Seq((10L, base),
+      (12L, (0 until 200).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text"),
+      0L, outDir, 0.5)
+    DedupStream.dedupBatch(Seq((10L, v2)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    assert(spark.read.parquet(s"$outDir/sketches").count() == 3)
+    val n = DedupStream.compactSketches(spark, outDir)
+    assert(n == 2, s"expected 2 compacted rows, got $n")
+    val kept = spark.read.parquet(s"$outDir/sketches")
+      .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)].collect().toSet
+    assert(kept == Set((10L, 1L), (12L, 0L)), kept)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/sketches.compact-tmp")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/sketches.pre-compact")))
+    // the stream keeps working against the compacted table: a new batch
+    // pairs against doc 10's LATEST version only — identical to a fresh
+    // rebuild over current texts (v2 ~ the new doc at J≈0.97; base differs
+    // from v2 in 1 token so both pass, but the sketch table must hold v2)
+    DedupStream.dedupBatch(Seq((20L, v2)).toDF("doc_id", "text"), 2L, outDir, 0.5)
+    val pairs = spark.read.parquet(s"$outDir/pairs")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val rebuilt = DedupOps.minhashNearDups(
+      Seq((10L, v2), (12L, (0 until 200).map(i => s"other$i").mkString(" ")),
+        (20L, v2)).toDF("doc_id", "text"), threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == rebuilt, s"streamed=$pairs rebuild-of-current-texts=$rebuilt")
+  }
+
+  test("revalidation drops pairs whose re-crawled doc diverged, keeps live ones") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupreval").toString
+    val outDir = s"$dir/out"
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word100", "replaced")
+    val unrelated = (0 until 200).map(i => s"zzz$i").mkString(" ")
+    DedupStream.dedupBatch(Seq((10L, base), (11L, base)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    DedupStream.dedupBatch(Seq((20L, near)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    // three recorded pairs: (10,11) exact, (10,20)/(11,20) near
+    assert(spark.read.parquet(s"$outDir/pairs").count() == 3)
+    // doc 10 re-crawled with unrelated content: its old pairs are now
+    // verdicts about a superseded version
+    DedupStream.dedupBatch(Seq((10L, unrelated)).toDF("doc_id", "text"), 2L, outDir, 0.5)
+    DedupStream.compactSketches(spark, outDir)
+    val n = DedupStream.revalidatePairs(spark, outDir)
+    val pairs = spark.read.parquet(s"$outDir/pairs")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(n == 1 && pairs == Set((11L, 20L)),
+      s"only the pair between unchanged docs survives: $pairs")
+  }
+
+  test("compaction crash recovery: a swap that died after moving the live table away completes") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupcompactcrash").toString
+    val outDir = s"$dir/out"
+    val text = (0 until 200).map(i => s"word$i").mkString(" ")
+    DedupStream.dedupBatch(Seq((10L, text)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    // simulate the crash window: live renamed to backup, tmp never created
+    val live = java.nio.file.Paths.get(s"$outDir/sketches")
+    val backup = java.nio.file.Paths.get(s"$outDir/sketches.pre-compact")
+    java.nio.file.Files.move(live, backup)
+    val n = DedupStream.compactSketches(spark, outDir)
+    assert(n == 1 && spark.read.parquet(s"$outDir/sketches").count() == 1)
+  }
+
   test("a re-crawled doc_id meets its own earlier sketch without self-pairing") {
     val dir = java.nio.file.Files.createTempDirectory("dedupcrawl").toString
     val outDir = s"$dir/out"
