@@ -111,6 +111,25 @@ object DedupOps {
     * the one quadratic blow-up LSH has. */
   val DefaultMaxBucket = 4096
 
+  /** Over-full (band, bucket) keys. KEYS-ONLY by design: the count agg
+    * prunes to (band, bucket) [+ doc_id when `distinctDocs`] — 16-byte
+    * shuffle rows, never the 512-byte signatures (the first cut of the
+    * guard ran min_by(sig) here and shuffled the whole signature
+    * column; with near-unique buckets partial agg doesn't reduce that).
+    * Only over-full buckets survive the filter, so the result is tiny
+    * and AQE broadcasts the joins against it. `distinctDocs` counts
+    * distinct doc_ids instead of rows — needed when the input can carry
+    * several sketches per doc (re-crawled ids in a corpus sketch table
+    * with compaction deferred), where raw row counts would flip a
+    * few-doc bucket hot and needlessly degrade it. */
+  private def hotBucketKeys(rows: DataFrame, maxBucket: Int,
+                            distinctDocs: Boolean): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    val n = if (distinctDocs) countDistinct(col("doc_id")) else count(lit(1))
+    rows.groupBy("band", "bucket").agg(n.as("n"))
+      .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
+  }
+
   /** Candidate (a, b, siga, sigb) pairs from LSH bucket rows with a
     * HOT-BUCKET GUARD — the dedup analogue of the adjacency hub cap.
     * Docs sharing a (band, bucket) agree on an entire band of minhashes,
@@ -136,25 +155,6 @@ object DedupOps {
     * signature). The unguarded join would keep such pairs; the guard
     * trades them for boundedness. Size `maxBucket` so genuine near-dup
     * clusters below it are untouched. */
-  /** Over-full (band, bucket) keys. KEYS-ONLY by design: the count agg
-    * prunes to (band, bucket) [+ doc_id when `distinctDocs`] — 16-byte
-    * shuffle rows, never the 512-byte signatures (the first cut of the
-    * guard ran min_by(sig) here and shuffled the whole signature
-    * column; with near-unique buckets partial agg doesn't reduce that).
-    * Only over-full buckets survive the filter, so the result is tiny
-    * and AQE broadcasts the joins against it. `distinctDocs` counts
-    * distinct doc_ids instead of rows — needed when the input can carry
-    * several sketches per doc (re-crawled ids in a corpus sketch table
-    * with compaction deferred), where raw row counts would flip a
-    * few-doc bucket hot and needlessly degrade it. */
-  private def hotBucketKeys(rows: DataFrame, maxBucket: Int,
-                            distinctDocs: Boolean): DataFrame = {
-    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
-    val n = if (distinctDocs) countDistinct(col("doc_id")) else count(lit(1))
-    rows.groupBy("band", "bucket").agg(n.as("n"))
-      .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
-  }
-
   private def boundedBucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
     val hotKeys = hotBucketKeys(buckets, maxBucket, distinctDocs = false)
     val cold = buckets.join(hotKeys, Seq("band", "bucket"), "left_anti")
