@@ -87,8 +87,22 @@ object DedupStream {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (!fs.exists(path)) empty
-    else {
+    if (!fs.exists(path)) {
+      // a missing table with rewrite-protocol dirs next to it is NOT a
+      // fresh table — a compaction/revalidation swap died mid-flight, and
+      // silently reading "empty" here would make the next drain miss every
+      // new-vs-corpus pair and then destroy the backup on the next rewrite
+      // (the exact silent-empty failure the batch= layout check below
+      // guards against). Fail loudly; recoverTable restores the table.
+      val pending = Seq(".compact-tmp", ".pre-compact")
+        .map(s => new org.apache.hadoop.fs.Path(dir + s)).filter(fs.exists)
+      if (pending.nonEmpty)
+        throw new IllegalStateException(
+          s"$dir is missing but ${pending.mkString(", ")} exist — a table " +
+            "rewrite died mid-swap; run compactSketches/revalidatePairs " +
+            "(whose recovery step restores the table) before draining")
+      empty
+    } else {
       val entries = fs.listStatus(path).filterNot(st => hidden(st.getPath))
       val parts = entries.filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       if (parts.isEmpty && entries.nonEmpty)
@@ -138,7 +152,7 @@ object DedupStream {
     recoverTable(spark, s"$outDir/sketches")
     val all = existingSketches(spark, outDir, excludeBatch = -1L)
     rewriteInPlace(spark, s"$outDir/sketches",
-      DedupOps.latestSketches(all),
+      DedupOps.latestSketches(all), sketchSchema,
       expectedRows = () => all.select("doc_id").distinct().count())
   }
 
@@ -159,8 +173,18 @@ object DedupStream {
                       k: Int = 64, threshold: Double = 0.5): Long = {
     recoverTable(spark, s"$outDir/pairs")
     recoverTable(spark, s"$outDir/sketches")
-    val latest = DedupOps.latestSketches(
-      existingSketches(spark, outDir, excludeBatch = -1L))
+    val all = existingSketches(spark, outDir, excludeBatch = -1L)
+    // the same k-drift gate dedupBatch applies: rescoring a k=128 table
+    // with the default k=64 would scale every estimate by 2 and keep
+    // virtually every stale pair (one sampled row decides — the table is
+    // uniform by dedupBatch's write-time induction)
+    all.select(size(col("sig")).as("k0")).head(1).foreach { r =>
+      if (r.getInt(0) != k)
+        throw new IllegalStateException(
+          s"persisted sketches in $outDir/sketches carry k=${r.getInt(0)} signatures " +
+            s"but revalidatePairs was called with k=$k — estimates would be mis-scaled")
+    }
+    val latest = DedupOps.latestSketches(all)
     val pairs = existingPairs(spark, outDir, excludeBatch = -1L)
     val rescored = pairs.select(col("a"), col("b"), col("batch"))
       .join(latest.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
@@ -168,16 +192,9 @@ object DedupStream {
       .withColumn("jaccard_est", DedupOps.jaccardEstimate(col("siga"), col("sigb"), k))
       .filter(col("jaccard_est") >= threshold)
       .select(col("a"), col("b"), col("jaccard_est"), col("batch"))
-    rewriteInPlace(spark, s"$outDir/pairs", rescored, expectedRows = null)
+    rewriteInPlace(spark, s"$outDir/pairs", rescored, pairSchema, expectedRows = null)
   }
 
-  /** Crash-recoverable in-place rewrite of a batchId-partitioned table:
-    * write `replacement` to `<table>.compact-tmp`, optionally verify its
-    * committed row count, rename the live table to `<table>.pre-compact`,
-    * rename tmp into place, delete the backup. A crash mid-swap leaves
-    * either the live table untouched (+ stale tmp, overwritten on retry)
-    * or the backup/tmp pair, from which a re-run completes the swap; the
-    * backup is only deleted after the new table is live. */
   /** Crash recovery for [[rewriteInPlace]] — MUST run before the caller
     * READS the live table (the replacement frame is built from it; doing
     * recovery inside the rewrite would build the replacement from a
@@ -197,8 +214,18 @@ object DedupStream {
     }
   }
 
+  /** Crash-recoverable in-place rewrite of a batchId-partitioned table:
+    * write `replacement` to `<table>.compact-tmp`, verify its committed
+    * row count (read back with the EXPLICIT `schema` — an all-rows-
+    * dropped rewrite writes a dir with no parquet footers, where schema
+    * inference would throw and brick the legitimate everything-stale
+    * state), rename the live table to `<table>.pre-compact`, rename tmp
+    * into place, delete the backup. A crash mid-swap leaves either the
+    * live table untouched (+ stale tmp, overwritten on retry) or the
+    * backup/tmp pair, from which a re-run completes the swap; the
+    * backup is only deleted after the new table is live. */
   private def rewriteInPlace(spark: SparkSession, table: String,
-                             replacement: DataFrame,
+                             replacement: DataFrame, schema: StructType,
                              expectedRows: () => Long): Long = {
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -208,7 +235,7 @@ object DedupStream {
     require(fs.exists(live), s"$live must exist (recoverTable runs first)")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     replacement.write.partitionBy("batch").mode("overwrite").parquet(tmp.toString)
-    val written = spark.read.parquet(tmp.toString).count()
+    val written = spark.read.schema(schema).parquet(tmp.toString).count()
     if (expectedRows != null) {
       val expected = expectedRows()
       if (written != expected)

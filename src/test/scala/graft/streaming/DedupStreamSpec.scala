@@ -170,6 +170,55 @@ class DedupStreamSpec extends AnyFunSuite {
       s"only the pair between unchanged docs survives: $pairs")
   }
 
+  test("revalidation that drops EVERY pair still swaps in a valid empty table") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupallstale").toString
+    val outDir = s"$dir/out"
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    DedupStream.dedupBatch(Seq((10L, base), (11L, base)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    DedupStream.dedupBatch(
+      Seq((10L, (0 until 200).map(i => s"zzz$i").mkString(" "))).toDF("doc_id", "text"),
+      1L, outDir, 0.5)
+    DedupStream.compactSketches(spark, outDir)
+    assert(DedupStream.revalidatePairs(spark, outDir) == 0L)
+    // the empty pair table reads back cleanly and the stream keeps working
+    DedupStream.dedupBatch(Seq((30L, base)).toDF("doc_id", "text"), 2L, outDir, 0.5)
+    val pairs = spark.read.parquet(s"$outDir/pairs")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((11L, 30L)), s"doc 30 matches the unchanged doc 11 only: $pairs")
+  }
+
+  test("revalidation with a mismatched k fails loudly instead of mis-scaling estimates") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupkdrift").toString
+    val outDir = s"$dir/out"
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    DedupStream.dedupBatch(Seq((10L, base)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    val e = intercept[IllegalStateException] {
+      DedupStream.revalidatePairs(spark, outDir, k = 32)
+    }
+    assert(e.getMessage.contains("k=64") && e.getMessage.contains("k=32"), e.getMessage)
+  }
+
+  test("a drain against a mid-swap-crashed table fails loudly, not as empty corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupmidswap").toString
+    val outDir = s"$dir/out"
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    DedupStream.dedupBatch(Seq((10L, base)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    // simulate a compaction that died after moving the live table away
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$outDir/sketches"),
+      java.nio.file.Paths.get(s"$outDir/sketches.pre-compact"))
+    val e = intercept[IllegalStateException] {
+      DedupStream.dedupBatch(Seq((20L, base)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    }
+    assert(e.getMessage.contains("mid-swap"), e.getMessage)
+    // the documented recovery path restores the table and the drain resumes
+    DedupStream.compactSketches(spark, outDir)
+    DedupStream.dedupBatch(Seq((20L, base)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    val pairs = spark.read.parquet(s"$outDir/pairs")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 20L)), pairs)
+  }
+
   test("compaction crash recovery: a swap that died after moving the live table away completes") {
     val dir = java.nio.file.Files.createTempDirectory("dedupcompactcrash").toString
     val outDir = s"$dir/out"
