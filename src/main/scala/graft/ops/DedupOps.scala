@@ -122,8 +122,8 @@ object DedupOps {
     * several sketches per doc (re-crawled ids in a corpus sketch table
     * with compaction deferred), where raw row counts would flip a
     * few-doc bucket hot and needlessly degrade it. */
-  private def hotBucketKeys(rows: DataFrame, maxBucket: Int,
-                            distinctDocs: Boolean): DataFrame = {
+  private[ops] def hotBucketKeys(rows: DataFrame, maxBucket: Int,
+                                 distinctDocs: Boolean): DataFrame = {
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     val n = if (distinctDocs) countDistinct(col("doc_id")) else count(lit(1))
     rows.groupBy("band", "bucket").agg(n.as("n"))
@@ -496,22 +496,45 @@ object DedupOps {
     * pair with hamming <= 3 by pigeonhole), then filtered on true hamming.
     * 16-bit band keys keep bucket cardinality ~2^16 — round 1's 4-bit
     * bands (16 distinct keys) made this join near-cartesian. */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashNearDupsFromSigs(sketches(documents).select("doc_id", "simhash"), maxHamming)
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    simhashNearDupsFromSigs(sketches(documents).select("doc_id", "simhash"),
+      maxHamming, maxBucket)
 
   /** Banded candidate join + exact hamming filter over a persisted
     * signature table (doc_id, simhash) — the build-once/probe-many shape:
     * at scale the signatures are materialized once (AuxTables) and every
     * dedup pass is this 16-byte-row equi-join, which is also what the
     * DuckDB all-pairs oracle independently recomputes. */
-  def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = sigs.select(col("doc_id"), col("simhash").as("sh"))
+    // band keys aliased to `bucket` so the shared hot guard applies: a
+    // boilerplate family of B identical simhashes shares all 4 band keys
+    // and would otherwise all-pair into B²/2 candidates, exactly the
+    // blow-up [[boundedBucketPairs]] caps for minhash LSH. Hot keys
+    // degrade to star edges via the min-id representative; the exact
+    // hamming filter still applies per edge (identical docs pass at 0).
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("sh").as("sha"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("sh").as("shb"))
-    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
+    val hotKeys = hotBucketKeys(banded, maxBucket, distinctDocs = false)
+    val cold = banded.join(hotKeys, Seq("band", "bucket"), "left_anti")
+    val coldPairs = cold
+      .select(col("band"), col("bucket"), col("doc_id").as("a"), col("sh").as("sha"))
+      .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sh").as("shb")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+    val hotRows = banded.join(hotKeys, Seq("band", "bucket"))
+    val reps = hotRows.groupBy("band", "bucket")
+      .agg(min_by(struct(col("doc_id"), col("sh")), col("doc_id")).as("rep"))
+      .select(col("band"), col("bucket"),
+        col("rep.doc_id").as("a"), col("rep.sh").as("sha"))
+    val starPairs = hotRows.join(reps, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"), col("sha"), col("sh").as("shb"))
+    coldPairs.select(col("a"), col("b"), col("sha"), col("shb"))
+      .unionByName(starPairs)
       .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= maxHamming)

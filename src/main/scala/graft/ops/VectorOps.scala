@@ -133,12 +133,31 @@ object VectorOps {
     * 1-(1-0.527)^12 ≈ 0.9999 while a random pair collides in any band
     * with prob ≈ 12 × 2^-8 ≈ 4.7%. */
   def cosineNearDups(vectors: DataFrame, threshold: Double = 0.95,
-                     planes: Int = 96, bands: Int = 12, seed: Long = 42L): DataFrame = {
-    val sk = sketchKeys(vectors, planes, bands, seed)
-    val a = sk.select(col("band"), col("key"), col("vec_id").as("a"))
-    val b = sk.select(col("band"), col("key"), col("vec_id").as("b"))
-    val cand = a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).dropDuplicates("a", "b")
+                     planes: Int = 96, bands: Int = 12, seed: Long = 42L,
+                     maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    // The candidate self-join gets the shared hot-bucket guard
+    // (DedupOps.hotBucketKeys): 8-bit sign-LSH keys collide for ~0.5% of
+    // random pairs per band, so at billions of vectors a (band, key)
+    // bucket holds far more than maxBucket members and the naive join is
+    // quadratic — identical-embedding families (re-encoded duplicates)
+    // make it degenerate. Over-full buckets emit star edges through the
+    // min-id representative (ids only — the guard never touches
+    // embeddings); the exact-cosine filter still applies per edge.
+    val rows = sketchKeys(vectors, planes, bands, seed)
+      .select(col("vec_id").as("doc_id"), col("band"), col("key").as("bucket"))
+    val hotKeys = DedupOps.hotBucketKeys(rows, maxBucket, distinctDocs = false)
+    val cold = rows.join(hotKeys, Seq("band", "bucket"), "left_anti")
+    val coldPairs = cold.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+    val hotRows = rows.join(hotKeys, Seq("band", "bucket"))
+    val reps = hotRows.groupBy("band", "bucket").agg(min(col("doc_id")).as("a"))
+    val starPairs = hotRows.join(reps, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"))
+    val cand = coldPairs.select(col("a"), col("b")).unionByName(starPairs)
+      .dropDuplicates("a", "b")
     GraftFunctions.register(vectors.sparkSession)
     val va = vectors.select(col("vec_id").as("a"), col("emb").as("ea"))
     val vb = vectors.select(col("vec_id").as("b"), col("emb").as("eb"))

@@ -97,6 +97,21 @@ class OpsSpec extends AnyFunSuite {
     assert(comps(guarded) == comps(unguarded), "guard must preserve components")
   }
 
+  test("simhash and cosine hot-bucket guards star-link identical families") {
+    // simhash: 6 identical docs share all 4 band keys — cap 4 makes every
+    // key hot, so output is exactly the 5 star edges at hamming 0
+    val text = "identical boilerplate page body repeated across the whole crawl frontier"
+    val fam = (1L to 6L).map(i => (i, text, "en")).toDF("doc_id", "text", "lang")
+    val sim = DedupOps.simhashNearDups(fam, maxHamming = 3, maxBucket = 4)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(sim == (2L to 6L).map(j => (1L, j, 0L)).toSet, sim)
+    // cosine: 6 identical embeddings, same shape — 5 star edges at cos 1.0
+    val emb = (1L to 6L).map(i => (i, Array(0.6, 0.8, 0.0, 0.0))).toDF("vec_id", "emb")
+    val cos = VectorOps.cosineNearDups(emb, threshold = 0.95, maxBucket = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cos == (2L to 6L).map(j => (1L, j)).toSet, cos)
+  }
+
   test("simhash near-dups: identical docs have hamming 0") {
     val pairs = DedupOps.simhashNearDups(docs)
       .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
