@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r4d"
+  private val Version = "r4e"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -116,16 +116,22 @@ object AuxTables {
       .select("a", "b")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/neardup_pairs")
 
-    // 3b. minhash sketch table with a PLANTED hot family: 24 identical
-    //     boilerplate docs (ids 1000001..1000024, disjoint from the sf
-    //     range) unioned onto the corpus, so q_dedup_hotbucket exercises
-    //     the hot-bucket guard ACTIVELY (identical docs share every
-    //     (band, bucket); the natural sf corpus never exceeds the test
-    //     cap) while its DuckDB oracle re-derives occupancy, star/cold
-    //     split, and the signature estimate from these rows in SQL
+    // 3b. minhash sketch table with TWO PLANTED hot families: 24
+    //     identical boilerplate docs (ids 1000001..1000024) and 24
+    //     identical docs of a NEAR-DUP text (one appended word — shingle
+    //     Jaccard ≈ 0.9, ids 2000001..2000024), both disjoint from the
+    //     sf id range, unioned onto the corpus. q_dedup_hotbucket then
+    //     exercises the family guard ACTIVELY and at BOTH levels: each
+    //     family's buckets are over the test cap (within-family star
+    //     edges), and the bands the two families share link them through
+    //     ONE rep-level pair — while the natural sf corpus stays on the
+    //     exact cold path. The DuckDB oracle re-derives all of it in SQL.
+    val textA = "graft boilerplate template page body identical across the planted crawl family"
     val boiler = spark.range(1L, 25L)
-      .select((col("id") + lit(1000000L)).as("doc_id"),
-        lit("graft boilerplate template page body identical across the planted crawl family").as("text"))
+      .select((col("id") + lit(1000000L)).as("doc_id"), lit(textA).as("text"))
+      .unionByName(spark.range(1L, 25L)
+        .select((col("id") + lit(2000000L)).as("doc_id"),
+          lit(textA + " appended").as("text")))
     val hotDocs = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .unionByName(boiler)
     DedupOps.sketches(hotDocs).select("doc_id", "sig", "band_buckets")

@@ -240,12 +240,14 @@ object SparkEntry {
         DedupOps.incrementalMinhashNearDups(oldSk, oldPairs, fresh, threshold = 0.5)
       allPairs.select(col("a"), col("b")).orderBy(col("a"), col("b"))
     }),
-    // hot-bucket guard, ACTIVE: the persisted sketch table carries a
-    // planted 24-doc boilerplate family (AuxTables 3b), so at cap 8
-    // every family bucket is hot and degrades to star edges through the
-    // min-id representative while the natural corpus stays on the exact
-    // cold path. The oracle re-derives occupancy, the star/cold split,
-    // pair dedup, and the signature-agreement estimate from the same
+    // family guard, ACTIVE at both levels: the persisted sketch table
+    // carries TWO planted 24-doc boilerplate families (AuxTables 3b —
+    // identical text, and a one-word-appended near-dup of it), so at
+    // cap 8 every family bucket is hot: members star through their
+    // family rep, and the bands both families share link them by ONE
+    // rep-level pair, while the natural corpus stays on the exact cold
+    // path. The oracle re-derives occupancy, the family grouping, both
+    // star levels, pair dedup, and the agreement estimate from the same
     // parquet rows in SQL — the guard's semantics, independently.
     "q_dedup_hotbucket" -> ((s, dir) =>
       DedupOps.minhashNearDupsFromSketches(
@@ -636,33 +638,58 @@ object SparkEntry {
     // exact all-pairs hamming over the same persisted signatures; equality
     // with the Spark side also proves the 4x16-bit banding's pigeonhole
     // completeness at hamming<=3
-    // Re-derives the ENTIRE hot-bucket guard in SQL from the persisted
-    // sketch rows: band explode (fixed bands=16), per-bucket occupancy,
-    // hot split at cap 8, exact all-pairs on cold buckets vs star edges
-    // through min(doc_id) on hot ones, pair dedup, then the k=64
-    // signature-agreement estimate and threshold — nothing is read back
-    // from engine output.
+    // Re-derives the ENTIRE two-level family guard in SQL from the
+    // persisted sketch rows: band explode (fixed bands=16), per-bucket
+    // occupancy, hot split at cap 8, exact all-pairs on cold buckets;
+    // in hot buckets, family grouping by FULL signature (list equality —
+    // the engine groups by xxhash64(sig), identical absent 2^-64
+    // collisions), within-family star edges via min(doc_id), family-rep
+    // all-pairs under the second-level cap and rep stars above it; pair
+    // dedup, then the k=64 agreement estimate and threshold — nothing is
+    // read back from engine output.
     "q_dedup_hotbucket" ->
       """WITH b AS (
-        |  SELECT s.doc_id, s.band_buckets, r.band AS band,
+        |  SELECT s.doc_id, s.sig, r.band AS band,
         |         s.band_buckets[r.band + 1] AS bucket
         |  FROM read_parquet('{AUX}/minhash_sketches_hot/*.parquet') s
         |  CROSS JOIN range(0, 16) r(band)),
-        |occ AS (
-        |  SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
-        |  FROM b GROUP BY band, bucket),
+        |occ AS (SELECT band, bucket, count(*) AS n FROM b GROUP BY band, bucket),
         |cold AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b
         |  FROM b x
         |  JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         |  JOIN occ o ON o.band = x.band AND o.bucket = x.bucket
         |  WHERE o.n <= 8),
-        |star AS (
-        |  SELECT o.rep AS a, m.doc_id AS b
-        |  FROM b m JOIN occ o ON o.band = m.band AND o.bucket = m.bucket
-        |  WHERE o.n > 8 AND m.doc_id <> o.rep),
+        |hot AS (
+        |  SELECT m.* FROM b m JOIN occ o ON o.band = m.band AND o.bucket = m.bucket
+        |  WHERE o.n > 8),
+        |fams AS (
+        |  SELECT band, bucket, sig, min(doc_id) AS rep
+        |  FROM hot GROUP BY band, bucket, sig),
+        |famstars AS (
+        |  SELECT f.rep AS a, m.doc_id AS b
+        |  FROM hot m
+        |  JOIN fams f ON f.band = m.band AND f.bucket = m.bucket AND f.sig = m.sig
+        |  WHERE m.doc_id <> f.rep),
+        |focc AS (SELECT band, bucket, count(*) AS fn FROM fams GROUP BY band, bucket),
+        |famcold AS (
+        |  SELECT x.rep AS a, y.rep AS b
+        |  FROM fams x
+        |  JOIN fams y ON x.band = y.band AND x.bucket = y.bucket AND x.rep < y.rep
+        |  JOIN focc o ON o.band = x.band AND o.bucket = x.bucket
+        |  WHERE o.fn <= 8),
+        |famhot AS (
+        |  SELECT f.* FROM fams f JOIN focc o ON o.band = f.band AND o.bucket = f.bucket
+        |  WHERE o.fn > 8),
+        |bucketrep AS (SELECT band, bucket, min(rep) AS brep FROM famhot GROUP BY band, bucket),
+        |famstar2 AS (
+        |  SELECT r.brep AS a, f.rep AS b
+        |  FROM famhot f JOIN bucketrep r ON r.band = f.band AND r.bucket = f.bucket
+        |  WHERE f.rep <> r.brep),
         |pairs AS (
-        |  SELECT DISTINCT a, b FROM (SELECT * FROM cold UNION ALL SELECT * FROM star)),
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT * FROM cold UNION ALL SELECT * FROM famstars
+        |    UNION ALL SELECT * FROM famcold UNION ALL SELECT * FROM famstar2)),
         |est AS (
         |  SELECT p.a, p.b,
         |    len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 64.0 AS jaccard_est

@@ -130,61 +130,111 @@ object DedupOps {
       .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
   }
 
-  /** Candidate (a, b, siga, sigb) pairs from LSH bucket rows with a
-    * HOT-BUCKET GUARD — the dedup analogue of the adjacency hub cap.
-    * Docs sharing a (band, bucket) agree on an entire band of minhashes,
-    * so a bucket holding B docs is a family of near-identical pages
-    * (web boilerplate puts B in the millions) and the naive self-join
-    * materializes B²/2 pairs — the one quadratic term in the whole dedup
-    * stack and a task-killer at 100 TB. Buckets at or under `maxBucket`
-    * keep the exact all-pairs join; buckets over it degrade to STAR
-    * edges against the bucket's min-doc_id representative: O(B) pairs
-    * instead of B²/2. The guard costs one keys-only count shuffle plus
-    * anti/inner joins against the tiny hot-bucket set; with no hot
-    * buckets the output is identical to the unguarded join.
+  /** The SHARED two-level, family-aware hot-bucket guard behind every
+    * LSH candidate join (minhash batch + append-mode, simhash bands,
+    * cosine sign-LSH) — the dedup analogue of the adjacency hub cap.
+    * Input columns: `doc_id, band, bucket, fam, pl` where `fam` is a
+    * FAMILY key (docs with equal fam are near-identical under the
+    * caller's exact metric — the full minhash signature, the full
+    * 64-bit simhash, the full embedding) and `pl` is the payload each
+    * output side carries (`pla`/`plb`).
     *
-    * Semantics of the degradation (a deliberate recall trade, stated
-    * precisely): downstream filters apply the signature-estimate
-    * threshold per edge, so a hot bucket's members stay in one
-    * connected component exactly when their estimate against the
-    * REPRESENTATIVE passes the threshold — true for the boilerplate
-    * families that create hot buckets (near-identical signatures), NOT
-    * guaranteed for a heterogeneous over-full bucket, where two members
-    * similar to each other but not to the rep lose their pair (bucket
-    * membership alone only certifies agreement on 1/bands of the
-    * signature). The unguarded join would keep such pairs; the guard
-    * trades them for boundedness. Size `maxBucket` so genuine near-dup
-    * clusters below it are untouched. */
-  private def boundedBucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
-    val hotKeys = hotBucketKeys(buckets, maxBucket, distinctDocs = false)
-    val cold = buckets.join(hotKeys, Seq("band", "bucket"), "left_anti")
+    * Semantics per (band, bucket):
+    *  - occupancy <= `maxBucket` (COLD — the overwhelmingly common
+    *    case): exact all-pairs join, output identical to the unguarded
+    *    join;
+    *  - occupancy over the cap (HOT): members collapse into families;
+    *    each family emits STAR edges through its min-id representative
+    *    (for a true family these survive the caller's exact filter by
+    *    construction — equal fam ⇒ equal metric inputs), and the family
+    *    REPRESENTATIVES re-enter as second-level bucket rows: exact
+    *    all-pairs between reps when the bucket holds <= `maxBucket`
+    *    families, else star edges through the bucket's min-id rep.
+    *
+    * Why families, not a flat cap (review r4d): a flat star-degrade is
+    * only sound when bucket membership itself certifies near-identity —
+    * true for 64-entry minhash band buckets, FALSE for 16-bit simhash
+    * keys and 8-bit sign-LSH keys, where RANDOM occupancy exceeds any
+    * cap once the corpus outgrows the key space (N > cap·2^bits) and a
+    * flat guard would silently star-link dissimilar docs and collapse
+    * recall to ~0. With family collapse, the boilerplate/clone mass
+    * (the actual scale-killer) is bounded at O(B) with NO recall loss —
+    * for simhash provably none (hamming is a function of fam alone, so
+    * every true pair survives at rep level and components are exact) —
+    * and the only lossy fallback is the second-level star, reached when
+    * a bucket holds more than `maxBucket` DISTINCT families: that is an
+    * undersized key space (document the fix: raise the caller's key
+    * resolution), not skew, and it degrades loudly in the plan rather
+    * than running a corpus-squared join.
+    *
+    * Cost: keys-only occupancy counts (16-byte rows); payloads enter
+    * aggs only for hot-bucket rows. With no hot buckets every extra
+    * branch is empty and the output equals the plain self-join. */
+  private[ops] def familyGuardedPairs(rows: DataFrame, maxBucket: Int): DataFrame = {
+    // hotKeys is referenced from every branch, and each physical
+    // occurrence would re-run the full occupancy agg over the exploded
+    // rows — ~10 redundant count shuffles when no bucket is hot (the
+    // common case, where the frame is EMPTY). Checkpoint the tiny
+    // result once; its materialized stats also let AQE collapse every
+    // hot-side join to an empty relation without scanning `rows`.
+    val hotKeys = hotBucketKeys(rows, maxBucket, distinctDocs = false).localCheckpoint(true)
+    val cold = rows.join(hotKeys, Seq("band", "bucket"), "left_anti")
     val coldPairs = cold
-      .select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
-      .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sigb")),
+      .select(col("band"), col("bucket"), col("doc_id").as("a"), col("pl").as("pla"))
+      .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("pl").as("plb")),
         Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-    // signatures enter an agg only here, restricted to hot-bucket rows
-    val hotRows = buckets.join(hotKeys, Seq("band", "bucket"))
-    val reps = hotRows.groupBy("band", "bucket")
-      .agg(min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("rep"))
-      .select(col("band"), col("bucket"),
-        col("rep.doc_id").as("a"), col("rep.sig").as("siga"))
-    // orientation holds by construction: the representative is the
-    // bucket minimum, so a < b for every star edge
-    val starPairs = hotRows.join(reps, Seq("band", "bucket"))
-      .filter(col("doc_id") =!= col("a"))
-      .select(col("a"), col("doc_id").as("b"), col("siga"), col("sig").as("sigb"))
-    coldPairs.select(col("a"), col("b"), col("siga"), col("sigb"))
-      .unionByName(starPairs)
+    val hotRows = rows.join(hotKeys, Seq("band", "bucket"))
+    val fams = hotRows.groupBy("band", "bucket", "fam")
+      .agg(min_by(struct(col("doc_id"), col("pl")), col("doc_id")).as("rep"))
+    // star orientation holds by construction: reps are minima
+    val famStars = hotRows.join(fams, Seq("band", "bucket", "fam"))
+      .filter(col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("a"), col("doc_id").as("b"),
+        col("rep.pl").as("pla"), col("pl").as("plb"))
+    // same reasoning: famRows (one row per hot-bucket family) feeds four
+    // branches; materialize it once instead of re-running the family agg
+    val famRows = fams.select(col("band"), col("bucket"),
+      col("rep.doc_id").as("doc_id"), col("rep.pl").as("pl"))
+      .localCheckpoint(true)
+    val famHotKeys = hotBucketKeys(famRows, maxBucket, distinctDocs = false)
+    val famCold = famRows.join(famHotKeys, Seq("band", "bucket"), "left_anti")
+    val famColdPairs = famCold
+      .select(col("band"), col("bucket"), col("doc_id").as("a"), col("pl").as("pla"))
+      .join(famCold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("pl").as("plb")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+    val famHotRows = famRows.join(famHotKeys, Seq("band", "bucket"))
+    val bucketReps = famHotRows.groupBy("band", "bucket")
+      .agg(min_by(struct(col("doc_id"), col("pl")), col("doc_id")).as("rep"))
+    val famStarPairs = famHotRows.join(bucketReps, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("a"), col("doc_id").as("b"),
+        col("rep.pl").as("pla"), col("pl").as("plb"))
+    coldPairs.select(col("a"), col("b"), col("pla"), col("plb"))
+      .unionByName(famStars)
+      .unionByName(famColdPairs.select(col("a"), col("b"), col("pla"), col("plb")))
+      .unionByName(famStarPairs)
   }
+
+  /** Minhash instantiation of [[familyGuardedPairs]]: family key =
+    * xxhash64 of the full signature (equal sigs ⇒ estimate 1.0; a
+    * 64-bit hash collision can only DROP an edge — the estimate filter
+    * rejects it — never fabricate a pair), payload = the signature. */
+  private def boundedBucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame =
+    familyGuardedPairs(
+      buckets.select(col("doc_id"), col("band"), col("bucket"),
+        xxhash64(col("sig")).as("fam"), col("sig").as("pl")),
+      maxBucket)
+      .select(col("a"), col("b"), col("pla").as("siga"), col("plb").as("sigb"))
 
   /** MinHash-LSH near-dup candidate pairs with the signature-estimated
     * Jaccard: self-join on (band, bucket) — an equi-join, so
     * sort-merge/AQE applies — then estimate agreement over the k
     * materialized signature entries (small arrays; zip_with over a
     * materialized column is cheap, unlike round 1's recompute-per-seed).
-    * Over-full buckets are star-linked, not all-paired — see
-    * [[boundedBucketPairs]]. */
+    * Over-full buckets go through the family-aware guard — see
+    * [[familyGuardedPairs]]. */
   def minhashNearDups(documents: DataFrame, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
                       maxBucket: Int = DefaultMaxBucket): DataFrame =
@@ -213,7 +263,7 @@ object DedupOps {
       lit(0), (acc: Column, v: Column) => acc + v).cast("double") / lit(k.toDouble)
 
   /** LSH candidates (no estimate filter): all (a, b) pairs sharing any
-    * band bucket, hot buckets star-linked ([[boundedBucketPairs]]).
+    * band bucket, hot buckets family-guarded ([[familyGuardedPairs]]).
     * Input to exact verification. */
   def minhashCandidates(documents: DataFrame, k: Int = 64, bands: Int = 16,
                         maxBucket: Int = DefaultMaxBucket): DataFrame =
@@ -254,7 +304,11 @@ object DedupOps {
   def verifiedNearDups(documents: DataFrame, jaccardThreshold: Double = 0.5,
                        k: Int = 64, bands: Int = 16,
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // candidates feed three plan branches (both id sides + the verify
+    // join); materialize the id pairs once — at corpus scale this is the
+    // artifact a production run would persist anyway
     val candidates = minhashCandidates(documents, k, bands, maxBucket)
+      .localCheckpoint(true)
     val candIds = candidates.select(col("a").as("cid"))
       .union(candidates.select(col("b").as("cid"))).distinct()
     val candDocs = documents.join(candIds,
@@ -492,13 +546,20 @@ object DedupOps {
   // ---------------- SimHash ----------------
 
   /** SimHash near-dups: 64-bit simhash, banded into 4×16-bit keys; docs
-    * sharing any band key are candidates (guaranteed to include every
-    * pair with hamming <= 3 by pigeonhole), then filtered on true hamming.
+    * sharing any band key are candidates (pigeonhole: every pair with
+    * hamming <= 3 agrees on some band), then filtered on true hamming.
     * 16-bit band keys keep bucket cardinality ~2^16 — round 1's 4-bit
-    * bands (16 distinct keys) made this join near-cartesian. */
+    * bands (16 distinct keys) made this join near-cartesian.
+    * Completeness statement, precise: every hamming<=maxHamming
+    * relationship survives at least at family-representative level (see
+    * [[simhashNearDupsFromSigs]]); member-level pair enumeration is
+    * exact for buckets within `maxBucket` and family-collapsed above
+    * it. The compact (doc_id, simhash) frame is checkpointed so the
+    * document sketch pass runs once, not once per guard branch. */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
                       maxBucket: Int = DefaultMaxBucket): DataFrame =
-    simhashNearDupsFromSigs(sketches(documents).select("doc_id", "simhash"),
+    simhashNearDupsFromSigs(
+      sketches(documents).select("doc_id", "simhash").localCheckpoint(true),
       maxHamming, maxBucket)
 
   /** Banded candidate join + exact hamming filter over a persisted
@@ -508,33 +569,26 @@ object DedupOps {
     * DuckDB all-pairs oracle independently recomputes. */
   def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sh = sigs.select(col("doc_id"), col("simhash").as("sh"))
-    // band keys aliased to `bucket` so the shared hot guard applies: a
-    // boilerplate family of B identical simhashes shares all 4 band keys
-    // and would otherwise all-pair into B²/2 candidates, exactly the
-    // blow-up [[boundedBucketPairs]] caps for minhash LSH. Hot keys
-    // degrade to star edges via the min-id representative; the exact
-    // hamming filter still applies per edge (identical docs pass at 0).
-    val banded = sh.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
-    val hotKeys = hotBucketKeys(banded, maxBucket, distinctDocs = false)
-    val cold = banded.join(hotKeys, Seq("band", "bucket"), "left_anti")
-    val coldPairs = cold
-      .select(col("band"), col("bucket"), col("doc_id").as("a"), col("sh").as("sha"))
-      .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sh").as("shb")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-    val hotRows = banded.join(hotKeys, Seq("band", "bucket"))
-    val reps = hotRows.groupBy("band", "bucket")
-      .agg(min_by(struct(col("doc_id"), col("sh")), col("doc_id")).as("rep"))
-      .select(col("band"), col("bucket"),
-        col("rep.doc_id").as("a"), col("rep.sh").as("sha"))
-    val starPairs = hotRows.join(reps, Seq("band", "bucket"))
-      .filter(col("doc_id") =!= col("a"))
-      .select(col("a"), col("doc_id").as("b"), col("sha"), col("sh").as("shb"))
-    coldPairs.select(col("a"), col("b"), col("sha"), col("shb"))
-      .unionByName(starPairs)
+    // Band keys go through the shared family guard with family = the
+    // FULL 64-bit simhash. Because hamming is a function of the simhash
+    // alone, family collapse in hot buckets is lossless at component
+    // granularity: members tie to their rep at hamming 0, and a true
+    // pair (x, y) always has a surviving rep-level counterpart with the
+    // SAME hamming — so every hamming<=maxHamming relationship is
+    // represented. Pair-level output in a hot bucket lists rep-level +
+    // within-family edges instead of all member-level duplicates of
+    // them. The only lossy path is a bucket with more than maxBucket
+    // DISTINCT simhash values (16-bit keys: corpus has outgrown the
+    // banding's exact-candidate capacity), which star-links family reps.
+    val banded = sigs.select(col("doc_id"), col("simhash").as("sh"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
+    familyGuardedPairs(
+      banded.select(col("doc_id"), col("band"), col("bucket"),
+        col("sh").as("fam"), col("sh").as("pl")),
+      maxBucket)
+      .select(col("a"), col("b"), col("pla").as("sha"), col("plb").as("shb"))
       .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= maxHamming)

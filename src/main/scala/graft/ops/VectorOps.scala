@@ -131,33 +131,38 @@ object VectorOps {
     *      compute the true cosine (codegen'd array intrinsics).
     * With planes=96/bands=12 (8-bit keys), recall at cos >= 0.97 is
     * 1-(1-0.527)^12 ≈ 0.9999 while a random pair collides in any band
-    * with prob ≈ 12 × 2^-8 ≈ 4.7%. */
+    * with prob ≈ 12 × 2^-8 ≈ 4.7%. That recall figure assumes buckets
+    * stay under `maxBucket` (cold): clone families above it keep exact
+    * component recall via the family guard, and heterogeneous over-full
+    * buckets degrade at family-rep level — size `planes` so expected
+    * occupancy N/2^(planes/bands) stays well under the cap (see the
+    * in-body comment). */
   def cosineNearDups(vectors: DataFrame, threshold: Double = 0.95,
                      planes: Int = 96, bands: Int = 12, seed: Long = 42L,
                      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
-    // The candidate self-join gets the shared hot-bucket guard
-    // (DedupOps.hotBucketKeys): 8-bit sign-LSH keys collide for ~0.5% of
-    // random pairs per band, so at billions of vectors a (band, key)
-    // bucket holds far more than maxBucket members and the naive join is
-    // quadratic — identical-embedding families (re-encoded duplicates)
-    // make it degenerate. Over-full buckets emit star edges through the
-    // min-id representative (ids only — the guard never touches
-    // embeddings); the exact-cosine filter still applies per edge.
+    // The candidate self-join goes through the shared two-level family
+    // guard (DedupOps.familyGuardedPairs) with family = xxhash64 of the
+    // raw embedding: identical-embedding clone families (re-encoded
+    // duplicates — the realistic degenerate mass) collapse to O(B) star
+    // edges that pass the exact-cosine filter at 1.0, while distinct
+    // embeddings in an over-full bucket all-pair at family-rep level.
+    // The second-level star fallback only fires when a (band, key)
+    // holds > maxBucket DISTINCT embeddings — with 8-bit keys that
+    // means the corpus has outgrown the key resolution (expected bucket
+    // occupancy is N/2^rows): raise `planes` so 2^(planes/bands) stays
+    // well above N/maxBucket rather than relying on the degraded path.
+    // The guard carries ids + 8-byte family hashes only; embeddings
+    // never enter candidate generation (exact cosine rejoins by id).
+    // The keys-only rows frame is checkpointed so the projection pass
+    // (and any upstream unions) runs once, not once per guard branch.
+    val fams = vectors.select(col("vec_id"), xxhash64(col("emb")).as("fam"))
     val rows = sketchKeys(vectors, planes, bands, seed)
-      .select(col("vec_id").as("doc_id"), col("band"), col("key").as("bucket"))
-    val hotKeys = DedupOps.hotBucketKeys(rows, maxBucket, distinctDocs = false)
-    val cold = rows.join(hotKeys, Seq("band", "bucket"), "left_anti")
-    val coldPairs = cold.select(col("band"), col("bucket"), col("doc_id").as("a"))
-      .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-    val hotRows = rows.join(hotKeys, Seq("band", "bucket"))
-    val reps = hotRows.groupBy("band", "bucket").agg(min(col("doc_id")).as("a"))
-    val starPairs = hotRows.join(reps, Seq("band", "bucket"))
-      .filter(col("doc_id") =!= col("a"))
-      .select(col("a"), col("doc_id").as("b"))
-    val cand = coldPairs.select(col("a"), col("b")).unionByName(starPairs)
-      .dropDuplicates("a", "b")
+      .join(fams, Seq("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("band"), col("key").as("bucket"),
+        col("fam"), lit(0L).as("pl"))
+      .localCheckpoint(true)
+    val cand = DedupOps.familyGuardedPairs(rows, maxBucket)
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
     GraftFunctions.register(vectors.sparkSession)
     val va = vectors.select(col("vec_id").as("a"), col("emb").as("ea"))
     val vb = vectors.select(col("vec_id").as("b"), col("emb").as("eb"))

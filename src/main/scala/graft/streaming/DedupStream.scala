@@ -99,8 +99,8 @@ object DedupStream {
       if (pending.nonEmpty)
         throw new IllegalStateException(
           s"$dir is missing but ${pending.mkString(", ")} exist — a table " +
-            "rewrite died mid-swap; run compactSketches/revalidatePairs " +
-            "(whose recovery step restores the table) before draining")
+            "rewrite died mid-swap; run revalidatePairs (recovers both " +
+            "tables) or, for the sketches table, compactSketches, then drain")
       empty
     } else {
       val entries = fs.listStatus(path).filterNot(st => hidden(st.getPath))

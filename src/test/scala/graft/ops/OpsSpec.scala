@@ -112,6 +112,27 @@ class OpsSpec extends AnyFunSuite {
     assert(cos == (2L to 6L).map(j => (1L, j)).toSet, cos)
   }
 
+  test("family guard: two families in a hot bucket link at rep level, members star in") {
+    // synthetic simhash signatures: family A = 6 docs at sh=0x1111, family
+    // B = 6 docs at sh=0x1110 (hamming 1 — same top three 16-bit bands, so
+    // they share 3 of 4 buckets). cap 4 => those buckets are hot. Expected:
+    // within-family stars at hamming 0, ONE cross pair at rep level
+    // (hamming 1), and no cross member-level pairs.
+    val sigs = ((1L to 6L).map(i => (i, 0x1111L)) ++ (11L to 16L).map(i => (i, 0x1110L)))
+      .toDF("doc_id", "simhash")
+    val pairs = DedupOps.simhashNearDupsFromSigs(sigs, maxHamming = 3, maxBucket = 4)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val expected =
+      (2L to 6L).map(j => (1L, j, 0L)).toSet ++
+        (12L to 16L).map(j => (11L, j, 0L)).toSet + ((1L, 11L, 1L))
+    assert(pairs == expected, s"got $pairs")
+    // component faithfulness: hamming is a function of the signature, so
+    // the rep-level pair joins both families into one component
+    val comps = DedupOps.dedupComponents(pairs.map(p => (p._1, p._2)).toSeq.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(1L), comps)
+  }
+
   test("simhash near-dups: identical docs have hamming 0") {
     val pairs = DedupOps.simhashNearDups(docs)
       .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
