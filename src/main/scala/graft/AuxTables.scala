@@ -121,11 +121,13 @@ object AuxTables {
     //     identical docs of a NEAR-DUP text (one appended word — shingle
     //     Jaccard ≈ 0.9, ids 2000001..2000024), both disjoint from the
     //     sf id range, unioned onto the corpus. q_dedup_hotbucket then
-    //     exercises the family guard ACTIVELY and at BOTH levels: each
-    //     family's buckets are over the test cap (within-family star
-    //     edges), and the bands the two families share link them through
-    //     ONE rep-level pair — while the natural sf corpus stays on the
-    //     exact cold path. The DuckDB oracle re-derives all of it in SQL.
+    //     exercises the family guard ACTIVELY: each family's buckets are
+    //     over the test cap (within-family star edges), and the bands
+    //     the two families share link them through ONE rep-level pair
+    //     (the level-2 COLD path) — while the natural sf corpus stays on
+    //     the exact cold path. The level-2 STAR fallback (more families
+    //     than the cap) is covered by OpsSpec's synthetic-signature
+    //     test. The DuckDB oracle re-derives all of it in SQL.
     val textA = "graft boilerplate template page body identical across the planted crawl family"
     val boiler = spark.range(1L, 25L)
       .select((col("id") + lit(1000000L)).as("doc_id"), lit(textA).as("text"))

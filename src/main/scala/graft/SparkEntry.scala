@@ -240,15 +240,17 @@ object SparkEntry {
         DedupOps.incrementalMinhashNearDups(oldSk, oldPairs, fresh, threshold = 0.5)
       allPairs.select(col("a"), col("b")).orderBy(col("a"), col("b"))
     }),
-    // family guard, ACTIVE at both levels: the persisted sketch table
-    // carries TWO planted 24-doc boilerplate families (AuxTables 3b —
-    // identical text, and a one-word-appended near-dup of it), so at
-    // cap 8 every family bucket is hot: members star through their
-    // family rep, and the bands both families share link them by ONE
-    // rep-level pair, while the natural corpus stays on the exact cold
-    // path. The oracle re-derives occupancy, the family grouping, both
-    // star levels, pair dedup, and the agreement estimate from the same
-    // parquet rows in SQL — the guard's semantics, independently.
+    // family guard, ACTIVE: the persisted sketch table carries TWO
+    // planted 24-doc boilerplate families (AuxTables 3b — identical
+    // text, and a one-word-appended near-dup of it), so at cap 8 every
+    // family bucket is hot: members star through their family rep, and
+    // the bands both families share link them by ONE rep-level pair
+    // (level-2 cold), while the natural corpus stays on the exact cold
+    // path; the level-2 star fallback is unit-tested with synthetic
+    // signatures (OpsSpec). The oracle re-derives occupancy, the family
+    // grouping, both star levels, pair dedup, and the agreement
+    // estimate from the same parquet rows in SQL — the guard's
+    // semantics, independently.
     "q_dedup_hotbucket" -> ((s, dir) =>
       DedupOps.minhashNearDupsFromSketches(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/minhash_sketches_hot"),

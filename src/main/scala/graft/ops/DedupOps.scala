@@ -170,6 +170,28 @@ object DedupOps {
     * Cost: keys-only occupancy counts (16-byte rows); payloads enter
     * aggs only for hot-bucket rows. With no hot buckets every extra
     * branch is empty and the output equals the plain self-join. */
+  /** Exact all-pairs within each (band, bucket) of `df`, oriented a < b. */
+  private def selfPairs(df: DataFrame): DataFrame = df
+    .select(col("band"), col("bucket"), col("doc_id").as("a"), col("pl").as("pla"))
+    .join(df.select(col("band"), col("bucket"), col("doc_id").as("b"), col("pl").as("plb")),
+      Seq("band", "bucket"))
+    .filter(col("a") < col("b"))
+    .select(col("a"), col("b"), col("pla"), col("plb"))
+
+  /** Star edges from each group's min_by representative to its other
+    * members; orientation a < b holds because reps are minima. `reps`
+    * must carry (groupCols..., rep = struct(doc_id, pl)). */
+  private def starsThrough(members: DataFrame, reps: DataFrame,
+                           groupCols: Seq[String]): DataFrame =
+    members.join(reps, groupCols)
+      .filter(col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("a"), col("doc_id").as("b"),
+        col("rep.pl").as("pla"), col("pl").as("plb"))
+
+  private def minRep(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(min_by(struct(col("doc_id"), col("pl")), col("doc_id")).as("rep"))
+
   private[ops] def familyGuardedPairs(rows: DataFrame, maxBucket: Int): DataFrame = {
     // hotKeys is referenced from every branch, and each physical
     // occurrence would re-run the full occupancy agg over the exploded
@@ -178,43 +200,21 @@ object DedupOps {
     // result once; its materialized stats also let AQE collapse every
     // hot-side join to an empty relation without scanning `rows`.
     val hotKeys = hotBucketKeys(rows, maxBucket, distinctDocs = false).localCheckpoint(true)
-    val cold = rows.join(hotKeys, Seq("band", "bucket"), "left_anti")
-    val coldPairs = cold
-      .select(col("band"), col("bucket"), col("doc_id").as("a"), col("pl").as("pla"))
-      .join(cold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("pl").as("plb")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
+    val coldPairs = selfPairs(rows.join(hotKeys, Seq("band", "bucket"), "left_anti"))
     val hotRows = rows.join(hotKeys, Seq("band", "bucket"))
-    val fams = hotRows.groupBy("band", "bucket", "fam")
-      .agg(min_by(struct(col("doc_id"), col("pl")), col("doc_id")).as("rep"))
-    // star orientation holds by construction: reps are minima
-    val famStars = hotRows.join(fams, Seq("band", "bucket", "fam"))
-      .filter(col("doc_id") =!= col("rep.doc_id"))
-      .select(col("rep.doc_id").as("a"), col("doc_id").as("b"),
-        col("rep.pl").as("pla"), col("pl").as("plb"))
+    val fams = minRep(hotRows, Seq("band", "bucket", "fam"))
+    val famStars = starsThrough(hotRows, fams, Seq("band", "bucket", "fam"))
     // same reasoning: famRows (one row per hot-bucket family) feeds four
     // branches; materialize it once instead of re-running the family agg
     val famRows = fams.select(col("band"), col("bucket"),
       col("rep.doc_id").as("doc_id"), col("rep.pl").as("pl"))
       .localCheckpoint(true)
     val famHotKeys = hotBucketKeys(famRows, maxBucket, distinctDocs = false)
-    val famCold = famRows.join(famHotKeys, Seq("band", "bucket"), "left_anti")
-    val famColdPairs = famCold
-      .select(col("band"), col("bucket"), col("doc_id").as("a"), col("pl").as("pla"))
-      .join(famCold.select(col("band"), col("bucket"), col("doc_id").as("b"), col("pl").as("plb")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
+    val famColdPairs = selfPairs(famRows.join(famHotKeys, Seq("band", "bucket"), "left_anti"))
     val famHotRows = famRows.join(famHotKeys, Seq("band", "bucket"))
-    val bucketReps = famHotRows.groupBy("band", "bucket")
-      .agg(min_by(struct(col("doc_id"), col("pl")), col("doc_id")).as("rep"))
-    val famStarPairs = famHotRows.join(bucketReps, Seq("band", "bucket"))
-      .filter(col("doc_id") =!= col("rep.doc_id"))
-      .select(col("rep.doc_id").as("a"), col("doc_id").as("b"),
-        col("rep.pl").as("pla"), col("pl").as("plb"))
-    coldPairs.select(col("a"), col("b"), col("pla"), col("plb"))
-      .unionByName(famStars)
-      .unionByName(famColdPairs.select(col("a"), col("b"), col("pla"), col("plb")))
-      .unionByName(famStarPairs)
+    val famStarPairs = starsThrough(famHotRows,
+      minRep(famHotRows, Seq("band", "bucket")), Seq("band", "bucket"))
+    coldPairs.unionByName(famStars).unionByName(famColdPairs).unionByName(famStarPairs)
   }
 
   /** Minhash instantiation of [[familyGuardedPairs]]: family key =
@@ -332,10 +332,15 @@ object DedupOps {
     * are exactly what this computes, with the same signature-estimate
     * filter, so incremental output == full rebuild output (OpsSpec
     * asserts pair-set and component equality) whenever no (band, bucket)
-    * exceeds the hot-bucket cap; over the cap both paths degrade to
-    * star edges that preserve components but may differ pairwise
-    * (the caps see per-batch vs whole-corpus occupancy). Assumes new
-    * doc_ids are disjoint from existing ones (append semantics). */
+    * exceeds the hot-bucket cap. Over the cap the two paths degrade
+    * DIFFERENTLY and outputs may diverge pairwise while staying
+    * component-linked through representatives: the rebuild uses the
+    * two-level family guard ([[familyGuardedPairs]] — family stars at
+    * estimate 1.0 plus rep-level pairs), while this incremental path
+    * keeps a flat per-side rep cap on the new×old probe (see capSide
+    * below; the caps also see per-batch vs whole-corpus occupancy).
+    * Assumes new doc_ids are disjoint from existing ones (append
+    * semantics). */
   def incrementalMinhashNearDups(existingSketches: DataFrame, existingPairs: DataFrame,
                                  newDocs: DataFrame, k: Int = 64, bands: Int = 16,
                                  threshold: Double = 0.5,
@@ -405,18 +410,22 @@ object DedupOps {
       // the new batch supersedes every persisted sketch by definition
       .withColumn("obatch", lit(Long.MaxValue)))
     val ob = buckets(oldWithBatch)
-    // HOT-BUCKET GUARD, incremental form (same bound as
-    // [[boundedBucketPairs]]): a side whose (band, bucket) occupancy
+    // HOT-BUCKET GUARD, incremental form (same occupancy bound as the
+    // batch path, but a FLAT per-side rep cap rather than the two-level
+    // family guard — minhash band buckets certify near-identity, so a
+    // flat cap is sound here, and the new×old probe shape has no
+    // second level to preserve): a side whose (band, bucket) occupancy
     // exceeds `maxBucket` contributes only its representative to the
     // new×old join — the cross join of a boilerplate family in the
     // corpus table with the same family in a batch is otherwise
     // |old|×|new| rows per band. Every member of a hot bucket is (or
     // was, in an earlier batch's output) linked to its side's
     // representative, so rep↔otherSide edges connect the families —
-    // subject to the same per-edge threshold caveat spelled out on
-    // [[boundedBucketPairs]] (recall is only guaranteed for members
-    // similar to the rep). The representative is the min doc_id — for
-    // the old side with its LATEST sketch, matching latest-wins below.
+    // recall is only guaranteed for members whose estimate against the
+    // rep passes the threshold (cf. the degradation note on
+    // [[familyGuardedPairs]]). The representative is the min doc_id —
+    // for the old side with its LATEST sketch, matching latest-wins
+    // below.
     def capSide(side: DataFrame): DataFrame = {
       // occupancy by DISTINCT doc ([[hotBucketKeys]]): stale sketches of
       // re-crawled ids must not flip a few-doc bucket hot — the B² the

@@ -122,6 +122,30 @@ object VectorOps {
       }.toDF("vec_id", "band", "key")
   }
 
+  /** [[sketchKeys]] plus an exact-embedding family key (64-bit mix of the
+    * raw double bits — equality only; a collision can only DROP a pair,
+    * the exact-cosine filter rejects any false star edge) computed in the
+    * SAME narrow pass, for the guarded candidate join. */
+  private def sketchKeysWithFam(vectors: DataFrame, planes: Int, bands: Int,
+                                seed: Long): DataFrame = {
+    require(planes % bands == 0, s"planes=$planes must be divisible by bands=$bands")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val keys = signBandKeys(v, planes, bands, seed)
+          var fam = 0x9E3779B97F4A7C15L
+          var j = 0
+          while (j < v.length) {
+            fam = TextHash.mix64(fam ^ java.lang.Double.doubleToLongBits(v(j))); j += 1
+          }
+          val f = fam
+          Iterator.tabulate(keys.length)(b => (id, b, keys(b), f))
+        }
+      }.toDF("vec_id", "band", "key", "fam")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Three
     * phases, each scale-shaped:
     *   1. sketch: narrow pass -> (vec_id, band, key);
@@ -141,23 +165,24 @@ object VectorOps {
                      planes: Int = 96, bands: Int = 12, seed: Long = 42L,
                      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
     // The candidate self-join goes through the shared two-level family
-    // guard (DedupOps.familyGuardedPairs) with family = xxhash64 of the
-    // raw embedding: identical-embedding clone families (re-encoded
-    // duplicates — the realistic degenerate mass) collapse to O(B) star
-    // edges that pass the exact-cosine filter at 1.0, while distinct
-    // embeddings in an over-full bucket all-pair at family-rep level.
-    // The second-level star fallback only fires when a (band, key)
-    // holds > maxBucket DISTINCT embeddings — with 8-bit keys that
-    // means the corpus has outgrown the key resolution (expected bucket
-    // occupancy is N/2^rows): raise `planes` so 2^(planes/bands) stays
-    // well above N/maxBucket rather than relying on the degraded path.
-    // The guard carries ids + 8-byte family hashes only; embeddings
-    // never enter candidate generation (exact cosine rejoins by id).
-    // The keys-only rows frame is checkpointed so the projection pass
-    // (and any upstream unions) runs once, not once per guard branch.
-    val fams = vectors.select(col("vec_id"), xxhash64(col("emb")).as("fam"))
-    val rows = sketchKeys(vectors, planes, bands, seed)
-      .join(fams, Seq("vec_id"))
+    // guard (DedupOps.familyGuardedPairs) with family = a 64-bit mix of
+    // the raw embedding bits, computed INSIDE the same narrow sketch
+    // pass (review r4e: a post-hoc fam join would shuffle the exploded
+    // sketch by id — a full extra corpus-wide exchange). Identical-
+    // embedding clone families (re-encoded duplicates — the realistic
+    // degenerate mass) collapse to O(B) star edges that pass the
+    // exact-cosine filter at 1.0, while distinct embeddings in an
+    // over-full bucket all-pair at family-rep level. The second-level
+    // star fallback only fires when a (band, key) holds > maxBucket
+    // DISTINCT embeddings — with 8-bit keys that means the corpus has
+    // outgrown the key resolution (expected bucket occupancy is
+    // N/2^rows): raise `planes` so 2^(planes/bands) stays well above
+    // N/maxBucket rather than relying on the degraded path. The guard
+    // carries ids + 8-byte family hashes only; embeddings never enter
+    // candidate generation (exact cosine rejoins by id). The keys-only
+    // rows frame is checkpointed so the projection pass (and any
+    // upstream unions) runs once, not once per guard branch.
+    val rows = sketchKeysWithFam(vectors, planes, bands, seed)
       .select(col("vec_id").as("doc_id"), col("band"), col("key").as("bucket"),
         col("fam"), lit(0L).as("pl"))
       .localCheckpoint(true)

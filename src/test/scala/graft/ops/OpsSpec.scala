@@ -133,6 +133,22 @@ class OpsSpec extends AnyFunSuite {
     assert(comps.values.toSet == Set(1L), comps)
   }
 
+  test("family guard level-2 star: more families than the cap star-link at rep level") {
+    // 4 two-doc families with sh in {1,2,4,8} (pairwise hamming 2): bands
+    // 1-3 all share bucket 0 (occupancy 8 > cap 2, and 4 families > cap
+    // 2), so the SECOND-level star fires: family reps link only through
+    // the bucket-min rep (doc 1). band 0 buckets hold single families
+    // (occupancy 2 <= cap: exact cold all-pairs at hamming 0).
+    val sigs = Seq((1L, 1L), (2L, 1L), (11L, 2L), (12L, 2L),
+      (21L, 4L), (22L, 4L), (31L, 8L), (32L, 8L)).toDF("doc_id", "simhash")
+    val pairs = DedupOps.simhashNearDupsFromSigs(sigs, maxHamming = 3, maxBucket = 2)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 2L, 0L), (11L, 12L, 0L), (21L, 22L, 0L), (31L, 32L, 0L), // families
+      (1L, 11L, 2L), (1L, 21L, 2L), (1L, 31L, 2L))                  // level-2 stars
+    assert(pairs == expected, s"got $pairs")
+  }
+
   test("simhash near-dups: identical docs have hamming 0") {
     val pairs = DedupOps.simhashNearDups(docs)
       .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
