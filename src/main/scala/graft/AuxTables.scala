@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r4e"
+  private val Version = "r5a"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -115,6 +115,19 @@ object AuxTables {
         sk.select("doc_id", "sig", "band_buckets"), k = 64, threshold = 0.5)
       .select("a", "b")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/neardup_pairs")
+
+    // 3a. the append-mode scenario's PERSISTED state: sketches + pairs of
+    //     the even-doc_id half of the corpus. At real scale these are the
+    //     artifacts an hourly append job reads (built once, extended per
+    //     batch) — materializing them here lets q_dedup_incremental time
+    //     the DELTA path (sketch the new batch + candidate-join it against
+    //     the persisted table), not a from-scratch rebuild of the old half
+    //     (VERDICT r4 #2). Both derive from the same single sketch pass.
+    val evenSk = sk.select("doc_id", "sig", "band_buckets")
+      .filter(col("doc_id") % 2 === 0)
+    evenSk.coalesce(1).write.mode("overwrite").parquet(s"$d/minhash_sketches_even")
+    DedupOps.minhashNearDupsFromSketches(evenSk, k = 64, threshold = 0.5)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/neardup_pairs_even")
 
     // 3b. minhash sketch table with TWO PLANTED hot families: 24
     //     identical boilerplate docs (ids 1000001..1000024) and 24

@@ -234,7 +234,13 @@ object DedupOps {
     * materialized signature entries (small arrays; zip_with over a
     * materialized column is cheap, unlike round 1's recompute-per-seed).
     * Over-full buckets go through the family-aware guard — see
-    * [[familyGuardedPairs]]. */
+    * [[familyGuardedPairs]].
+    *
+    * EAGER: constructing the returned DataFrame materializes the sketch
+    * pass via localCheckpoint (ADVICE r4 — the guard's multi-branch plan
+    * demands it; plan-only consumers like PlanAudit pay that job). At
+    * corpus scale use the `FromSketches` variant over a persisted sketch
+    * table, which stays lazy on the caller's side. */
   def minhashNearDups(documents: DataFrame, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
                       maxBucket: Int = DefaultMaxBucket): DataFrame =
@@ -564,7 +570,10 @@ object DedupOps {
     * [[simhashNearDupsFromSigs]]); member-level pair enumeration is
     * exact for buckets within `maxBucket` and family-collapsed above
     * it. The compact (doc_id, simhash) frame is checkpointed so the
-    * document sketch pass runs once, not once per guard branch. */
+    * document sketch pass runs once, not once per guard branch — which
+    * makes this entry point EAGER (constructing the frame runs the
+    * sketch job; ADVICE r4): plan-only consumers should use
+    * [[simhashNearDupsFromSigs]] over a persisted signature table. */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
                       maxBucket: Int = DefaultMaxBucket): DataFrame =
     simhashNearDupsFromSigs(

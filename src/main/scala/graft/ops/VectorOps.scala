@@ -160,7 +160,11 @@ object VectorOps {
     * component recall via the family guard, and heterogeneous over-full
     * buckets degrade at family-rep level — size `planes` so expected
     * occupancy N/2^(planes/bands) stays well under the cap (see the
-    * in-body comment). */
+    * in-body comment).
+    *
+    * EAGER: constructing the returned DataFrame materializes the sketch
+    * pass via localCheckpoint (the guard references it from several plan
+    * branches; ADVICE r4) — plan-only consumers pay that one job. */
   def cosineNearDups(vectors: DataFrame, threshold: Double = 0.95,
                      planes: Int = 96, bands: Int = 12, seed: Long = 42L,
                      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {

@@ -48,15 +48,30 @@ object Lineage {
       .agg(expr("bit_xor(xxhash64(url))").as("input_fingerprint"),
         count(lit(1)).as("row_count"))
 
+  /** Load the lineage manifest. A MISSING manifest is the normal first-run
+    * state and yields an empty frame; a manifest that EXISTS but cannot be
+    * read/projected fails loudly instead of silently falling back to empty
+    * (which would quietly schedule a full re-run — at 100 TB an expensive
+    * surprise an operator must opt into by deleting the manifest;
+    * VERDICT r4 #4). */
   def readManifest(spark: SparkSession, manifestPath: String): DataFrame = {
-    try spark.read.parquet(manifestPath)
-      .select(col("partition_key").cast("string"), col("input_fingerprint"),
-        col("triple_count"), col("status"), col("updated_at"))
-    catch {
-      case _: Exception =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.Encoders.product[LineageRow].schema)
-    }
+    val p = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[LineageRow].schema)
+    else
+      try spark.read.parquet(manifestPath)
+        .select(col("partition_key").cast("string"), col("input_fingerprint"),
+          col("triple_count"), col("status"), col("updated_at"))
+      catch {
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"lineage manifest at $manifestPath exists but is unreadable " +
+              "(corrupt or schema-drifted) — refusing to silently treat it as " +
+              "empty and re-run everything; delete the manifest to force a " +
+              "full re-run", e)
+      }
   }
 
   /** Resume filter: drop pages whose partition is already marked done with

@@ -116,6 +116,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(pendingAll.count() == 80)
   }
 
+  test("lineage: corrupt manifest fails loudly, missing manifest is empty") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage-corrupt").toString
+    // missing path: the normal first-run state — empty frame, no error
+    assert(Lineage.readManifest(spark, s"$dir/never-written").count() == 0)
+    // present-but-unreadable: garbage bytes where parquet footers should
+    // be must NOT silently become "re-run everything" (VERDICT r4 #4)
+    val bad = java.nio.file.Paths.get(dir, "manifest")
+    java.nio.file.Files.createDirectories(bad)
+    java.nio.file.Files.write(bad.resolve("part-00000.parquet"),
+      "this is not parquet".getBytes)
+    val e = intercept[IllegalStateException] {
+      Lineage.readManifest(spark, bad.toString).count()
+    }
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
+  }
+
   test("typed and column partition keys agree") {
     import spark.implicits._
     val urls = PageGen.pages(spark, 50, 42L, partitions = 2).map(_.url).collect()
