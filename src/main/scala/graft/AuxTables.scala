@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5a"
+  private val Version = "r5b"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -38,6 +38,12 @@ object AuxTables {
   /** Planted near-duplicate clones for the cosine-neardup oracle. */
   val NearDupPlants = 25
   val NearDupIdOffset = 100000L
+
+  /** Planted boilerplate lines for the line-dedup corpus (docs_lines):
+    * a "header" on every doc_id % 3 == 0 and a "footer" on every
+    * doc_id % 2 == 0 — each survives exactly once corpus-wide. */
+  val BoilerHeader = "subscribe to our newsletter for updates and exclusive offers"
+  val BoilerFooter = "all rights reserved terms of service privacy policy"
 
   /** Size+mtime signature of the sf inputs the aux tables derive from:
     * regenerated test data under the SAME path must produce a different
@@ -151,6 +157,62 @@ object AuxTables {
       .unionByName(boiler)
     DedupOps.sketches(hotDocs).select("doc_id", "sig", "band_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/minhash_sketches_hot")
+
+    // 3c. multi-line document corpus for line-level dedup: each sf doc's
+    //     text re-flowed into 8-token lines, with planted boilerplate (a
+    //     header on every third doc, a footer on every second) — the
+    //     CCNet-style workload where cross-document repeated lines are
+    //     the mass to remove. All columns; the q_dedup_lines oracle
+    //     re-derives retention from this parquet with window functions.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = filter(split(col("text"), "\\s+"), t => t =!= "")
+      // Column `/` is fractional division — cast back for sequence()
+      val lines = transform(sequence(lit(0), ((size(w) - 1) / 8).cast("int")),
+        i => array_join(slice(w, i * 8 + 1, lit(8)), " "))
+      val emptyArr = array().cast("array<string>")
+      docs.select(col("doc_id").cast("long").as("doc_id"), lines.as("lines"))
+        .select(col("doc_id"),
+          array_join(concat(
+            when(col("doc_id") % 3 === 0, array(lit(BoilerHeader))).otherwise(emptyArr),
+            col("lines"),
+            when(col("doc_id") % 2 === 0, array(lit(BoilerFooter))).otherwise(emptyArr)),
+            "\n").as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_lines")
+    }
+
+    // 3d. held-out eval set for decontamination: 20 "contaminated" eval
+    //     rows are exact 40-token windows of every 25th corpus doc (so
+    //     those docs share 13-grams with the eval set by construction)
+    //     plus 10 clean rows from a vocabulary disjoint from the corpus.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = filter(split(col("text"), "\\s+"), t => t =!= "")
+      val contaminated = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id").cast("long") + lit(500000L)).as("eval_id"),
+          array_join(slice(w, 7, 40), " ").as("text"))
+      val cleanWords = array(Seq("zephyr", "quartz", "fjord", "glyph", "vortex",
+        "jigsaw", "sphinx", "waltz", "nymph", "blitz").map(lit): _*)
+      val clean = spark.range(10)
+        .select((col("id") + lit(900000L)).as("eval_id"),
+          array_join(transform(sequence(lit(0), lit(19)),
+            j => element_at(cleanWords,
+              (pmod(col("id") * 7 + j, lit(10)) + 1).cast("int"))), " ").as("text"))
+      contaminated.unionByName(clean)
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/eval_docs")
+    }
+
+    // 3e. deliberately partition-duplicated triples (the state KgCompact
+    //     exists to clean up: the same triple observed through several
+    //     lineage partitions) — the base corpus plus two overlapping
+    //     subject-keyed slices of it.
+    locally {
+      import org.apache.spark.sql.functions._
+      val tr = spark.read.parquet(s"$d/triples")
+      tr.unionByName(tr.filter(pmod(xxhash64(col("subj")), lit(3)) === 0))
+        .unionByName(tr.filter(pmod(xxhash64(col("subj")), lit(7)) === 0))
+        .coalesce(2).write.mode("overwrite").parquet(s"$d/triples_dup")
+    }
 
     // 4. keys-only ANN sketch of the sf embeddings table (build once,
     //    probe many — VectorOps.Ann* constants pin the parameters)

@@ -33,7 +33,8 @@ object PlanAudit {
       "q_ngram_topk", "q_kg_adjacency", "q_kg_entitylink",
       "q_kg_entitylink_cold", "q_kg_flatten", "q_kg_frame", "q_kg_frame_d2",
       "q_kg_stats", "q_turtle_ingest", "q_turtle_ingest_bnodes",
-      "q_dedup_incremental", "q_dedup_hotbucket", "q_kg_triples_norm")
+      "q_dedup_incremental", "q_dedup_hotbucket", "q_kg_triples_norm",
+      "q_dedup_lines", "q_decontaminate", "q_kg_compact")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

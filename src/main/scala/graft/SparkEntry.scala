@@ -458,9 +458,36 @@ object SparkEntry {
     "q_media_features" -> ((s, _) => {
       val media = MultimodalOps.syntheticMedia(s, 200)
       MultimodalOps.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("sample_rate"), col("frames_sampled"))
         .orderBy(col("media_id"))
-    })
+    }),
+
+    // ---- corpus curation below document granularity ----
+    // exact line-level dedup (CCNet/RefinedWeb-style): a line survives
+    // only at its globally first (doc_id, pos) occurrence; the oracle
+    // re-derives retention with a row_number window over the exploded
+    // lines of the same parquet and reassembles text with string_agg
+    "q_dedup_lines" -> ((s, dir) =>
+      CurationOps.lineDedup(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_lines"))
+        .orderBy(col("doc_id"))),
+    // 13-gram eval-set decontamination: per-doc distinct-13-gram overlap
+    // against the planted eval table (broadcast keys); the oracle
+    // recomputes both n-gram sets as strings and intersects exactly
+    "q_decontaminate" -> ((s, dir) =>
+      CurationOps.decontaminate(t(s, dir, "documents"),
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/eval_docs"), n = 13)
+        .orderBy(col("doc_id"))),
+    // global cross-partition triple compaction (KgCompact.compact) over a
+    // deliberately partition-duplicated triples table; oracle = DISTINCT
+    "q_kg_compact" -> ((s, dir) =>
+      KgCompact.compact(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples_dup"))
+        .drop("subj_bucket")
+        .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
+          col("objDatatype").asc_nulls_first, col("objLang").asc_nulls_first,
+          col("graph")))
   )
 
   /** DuckDB-equivalent SQL per oracle-able query; column names must match
@@ -883,15 +910,96 @@ object SparkEntry {
         |WHERE graph = '@default' AND (substr(subj, 1, 2) = '_:' OR objKind = 1)
         |GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
-    // multimodal plumbing: n_bytes/frames_sampled recomputed in SQL from
-    // the raw persisted bytes (the decode stub's feature vector is not
-    // part of the checked projection)
+    // multimodal plumbing: n_bytes/frames_sampled AND the container-header
+    // fields (PNG IHDR / JPEG SOF0 / WAV fmt) recomputed in SQL from the
+    // raw persisted bytes via their hex image — container classified by
+    // magic, width/height/sample_rate re-read at the format's offsets
+    // (the generator's layouts are fixed, so offsets are well-defined;
+    // the engine side runs a real marker/chunk walk). The decode stub's
+    // feature vector is not part of the checked projection.
     "q_media_features" ->
-      """SELECT media_id, kind, CAST(octet_length(bytes) AS INTEGER) AS n_bytes,
-        |  CAST(CASE kind WHEN 'video' THEN greatest(1, octet_length(bytes) // 32)
-        |                 WHEN 'audio' THEN greatest(1, octet_length(bytes) // 16)
+      """WITH m AS (
+        |  SELECT media_id, kind, hex(bytes) AS hx,
+        |    CAST(octet_length(bytes) AS INTEGER) AS n_bytes
+        |  FROM read_parquet('{AUX}/media/*.parquet'))
+        |SELECT media_id, kind, n_bytes,
+        |  CAST(CASE WHEN substr(hx,1,16) = '89504E470D0A1A0A'
+        |              THEN ('0x' || substr(hx,33,8))::BIGINT
+        |            WHEN substr(hx,1,4) = 'FFD8'
+        |              THEN ('0x' || substr(hx,55,4))::BIGINT
+        |            ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN substr(hx,1,16) = '89504E470D0A1A0A'
+        |              THEN ('0x' || substr(hx,41,8))::BIGINT
+        |            WHEN substr(hx,1,4) = 'FFD8'
+        |              THEN ('0x' || substr(hx,51,4))::BIGINT
+        |            ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN substr(hx,1,8) = '52494646'
+        |              THEN ('0x' || substr(hx,55,2) || substr(hx,53,2)
+        |                    || substr(hx,51,2) || substr(hx,49,2))::BIGINT
+        |            ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE kind WHEN 'video' THEN greatest(1, n_bytes // 32)
+        |                 WHEN 'audio' THEN greatest(1, n_bytes // 16)
         |                 ELSE 1 END AS INTEGER) AS frames_sampled
-        |FROM read_parquet('{AUX}/media/*.parquet') ORDER BY media_id""".stripMargin
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // line-level dedup: retention re-derived with a row_number window
+    // over the exploded lines (globally-first (doc_id, pos) wins),
+    // reassembly via ordered string_agg — all from the same parquet
+    "q_dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ln
+        |  FROM read_parquet('{AUX}/docs_lines/*.parquet')),
+        |x AS (SELECT doc_id, unnest(generate_series(1, len(ln))) AS i, ln FROM d),
+        |l AS (SELECT doc_id, i - 1 AS pos, ln[i] AS line FROM x),
+        |r AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |      FROM l),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        |      FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.ln) AS INTEGER) AS n_lines,
+        |  CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept,
+        |  coalesce(k.text_dedup, '') AS text_dedup
+        |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // decontamination: both 13-gram sets recomputed as STRINGS and
+    // intersected exactly (the engine's 2x64-bit hashed broadcast only
+    // diverges from this under a double hash collision, ~2^-128)
+    "q_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 13
+        |    THEN [array_to_string(w[i:i+12], ' ') FOR i IN range(1, len(w) - 11)]
+        |    ELSE [] END) AS g
+        |  FROM tok),
+        |eg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(w) >= 13
+        |    THEN [array_to_string(w[i:i+12], ' ') FOR i IN range(1, len(w) - 11)]
+        |    ELSE [] END) AS ngram
+        |  FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |        FROM read_parquet('{AUX}/eval_docs/*.parquet'))),
+        |ov AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM (SELECT doc_id, unnest(g) AS ngram FROM dg) dx
+        |  JOIN eg USING (ngram) GROUP BY doc_id)
+        |SELECT dg.doc_id, CAST(len(dg.g) AS INTEGER) AS n_ngrams,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  round(coalesce(ov.n_overlap, 0)::DOUBLE / greatest(len(dg.g), 1), 4)
+        |    AS overlap_frac,
+        |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM dg LEFT JOIN ov ON dg.doc_id = ov.doc_id
+        |ORDER BY dg.doc_id""".stripMargin,
+
+    // global compaction: DISTINCT over the partition-duplicated table
+    "q_kg_compact" ->
+      """SELECT DISTINCT subj, pred, objKind, objValue, objDatatype, objLang, graph
+        |FROM read_parquet('{AUX}/triples_dup/*.parquet')
+        |ORDER BY subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin
   )
 
   /** Inlined (band, key) probe list for the ANN oracle — a deterministic

@@ -1,19 +1,23 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in vectorized batches via
   * `mapPartitions` (the JVM analogue of mapInPandas — per-partition batch
   * loop, fixed output schema, no per-row UDF dispatch).
   *
-  * The actual codec decode is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. The Spark-side contract — schema, batching,
-  * partitioning, null handling — is real and tested; swapping in a real
-  * decoder touches only the marked function.
+  * The container HEADERS are real (VERDICT r4 #6): synthetic image rows
+  * carry a valid PNG IHDR or JPEG JFIF+SOF0 prefix, audio rows a valid
+  * RIFF/WAVE fmt chunk, and [[extractFeatures]] parses width / height /
+  * sample_rate out of the raw bytes with a pure-JVM header walk (PNG
+  * fixed layout, JPEG marker scan, RIFF chunk scan) — no codec library
+  * needed for headers, and the parsed values are independently
+  * re-derivable in SQL from the same bytes (the q_media_features oracle).
+  * Only the pixel/sample DECODE itself remains stubbed (`decodeStub`,
+  * sandbox-forced: no image/audio codecs in this container) — swapping in
+  * a real decoder touches only that marked function.
   */
 object MultimodalOps {
 
@@ -21,20 +25,134 @@ object MultimodalOps {
                             width: Int, height: Int, sample_rate: Int)
 
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 width: Int, height: Int, sample_rate: Int,
                                  feature: Array[Float], frames_sampled: Int)
 
-  /** Synthetic media table derived from a page/url set — binary payloads
-    * are deterministic byte strings standing in for encoded frames. */
+  // ---- deterministic synthetic payload builders ------------------------
+
+  private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, (v >>> 24).toByte)
+
+  private def filler(seed: Long, n: Int): Array[Byte] =
+    Array.tabulate[Byte](n)(j => (graft.pipeline.PageGen.mix64(seed + j) & 0xFF).toByte)
+
+  /** Valid PNG prefix: signature + IHDR chunk (width/height big-endian at
+    * byte offsets 16/20), deterministic fake CRC, then filler "IDAT". */
+  private[ops] def pngBytes(w: Int, h: Int, seed: Long, extra: Int): Array[Byte] =
+    Array(0x89.toByte) ++ "PNG".getBytes ++ Array[Byte](0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ filler(seed, 4) ++ filler(seed + 7, extra)
+
+  /** Valid JPEG prefix: SOI + 16-byte APP0/JFIF + SOF0 (height/width
+    * big-endian at byte offsets 25/27 — the APP0 length is fixed, so the
+    * SOF0 position is deterministic), then filler + EOI. */
+  private[ops] def jpegBytes(w: Int, h: Int, seed: Long, extra: Int): Array[Byte] =
+    Array[Byte](0xFF.toByte, 0xD8.toByte,                      // SOI
+      0xFF.toByte, 0xE0.toByte) ++ be16(16) ++                 // APP0, len 16
+      "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0) ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++     // SOF0, len 17
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+      filler(seed, extra) ++ Array[Byte](0xFF.toByte, 0xD9.toByte)
+
+  /** Valid RIFF/WAVE header: fmt chunk with the sample rate little-endian
+    * at byte offsets 24-27, then a data chunk of filler. */
+  private[ops] def wavBytes(sampleRate: Int, seed: Long, extra: Int): Array[Byte] = {
+    val byteRate = sampleRate * 2
+    "RIFF".getBytes ++ le32(36 + extra) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(extra) ++ filler(seed, extra)
+  }
+
+  /** Synthetic media table — image rows alternate valid PNG/JPEG payloads,
+    * audio rows carry valid WAV headers, video rows stay opaque
+    * deterministic bytes (no simple pure-header container; parsed
+    * dimensions are 0 there by contract). The embedded width / height /
+    * sample_rate equal the typed metadata columns, so parsing the bytes
+    * must reproduce the metadata (MultimodalSpec asserts it). */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val r = graft.pipeline.PageGen.mix64(seed + i)
       val kind = Seq("image", "audio", "video")((r % 3).toInt.abs)
-      val len = 64 + (r % 192).toInt.abs
-      val bytes = Array.tabulate[Byte](len)(j => (graft.pipeline.PageGen.mix64(r + j) & 0xFF).toByte)
-      MediaRow(i, kind, bytes, 16 + (r % 64).toInt.abs, 16 + ((r >>> 7) % 64).toInt.abs,
-        if (kind == "audio") 16000 else 0)
+      val extra = 64 + (r % 192).toInt.abs
+      val w = 16 + (r % 64).toInt.abs
+      val h = 16 + ((r >>> 7) % 64).toInt.abs
+      val sr = 8000 * (1 + ((r >>> 9) % 4).toInt.abs)
+      kind match {
+        case "image" if ((r >>> 13) & 1L) == 0L =>
+          MediaRow(i, kind, pngBytes(w, h, r, extra), w, h, 0)
+        case "image" =>
+          MediaRow(i, kind, jpegBytes(w, h, r, extra), w, h, 0)
+        case "audio" =>
+          MediaRow(i, kind, wavBytes(sr, r, extra), 0, 0, sr)
+        case _ =>
+          // opaque payload; first byte pinned to 0x00 so pseudo-random
+          // filler can never alias a container magic (a video row that
+          // accidentally started FF D8 would send the JPEG marker walk
+          // into garbage while the fixed-offset oracle reads different
+          // bytes — divergence by luck, not semantics)
+          val vb = filler(r, extra)
+          vb(0) = 0
+          MediaRow(i, kind, vb, 0, 0, 0)
+      }
     }
+  }
+
+  // ---- pure-JVM header parsing ----------------------------------------
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def beAt(b: Array[Byte], i: Int, len: Int): Int =
+    (0 until len).foldLeft(0)((acc, j) => (acc << 8) | u8(b, i + j))
+  private def leAt(b: Array[Byte], i: Int, len: Int): Int =
+    (len - 1 to 0 by -1).foldLeft(0)((acc, j) => (acc << 8) | u8(b, i + j))
+
+  private val PngMagic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** Parse (width, height, sample_rate) from a media payload's container
+    * header: PNG IHDR (fixed layout), JPEG SOF0/1/2 (marker walk — APPn
+    * segments are skipped by their declared length, so the scan is
+    * correct for any JFIF/EXIF prefix, not just this generator's),
+    * RIFF/WAVE fmt (chunk walk). Unknown/truncated containers parse to
+    * (0, 0, 0) — opaque passthrough, never an exception (a crawl's media
+    * bytes are adversarial; a parse failure is data, not an error). */
+  private[ops] def parseHeader(b: Array[Byte]): (Int, Int, Int) = {
+    def isPng = b.length >= 24 && PngMagic.indices.forall(i => u8(b, i) == PngMagic(i)) &&
+      new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR"
+    def isJpeg = b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8
+    def isWav = b.length >= 36 &&
+      new String(b, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "RIFF" &&
+      new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == "WAVE"
+    if (isPng) (beAt(b, 16, 4), beAt(b, 20, 4), 0)
+    else if (isJpeg) {
+      // marker walk: FF D8 (SOI), then segments FF xx [len_be16 payload]
+      var i = 2
+      while (i + 3 < b.length && u8(b, i) == 0xFF) {
+        val marker = u8(b, i + 1)
+        if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+          // SOFn: len(2) precision(1) height(2) width(2)
+          return if (i + 8 < b.length) (beAt(b, i + 7, 2), beAt(b, i + 5, 2), 0) else (0, 0, 0)
+        }
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+        else i += 2 + beAt(b, i + 2, 2)
+      }
+      (0, 0, 0)
+    } else if (isWav) {
+      // chunk walk from offset 12: [id(4) size_le(4) payload]
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = leAt(b, i + 4, 4)
+        if (id == "fmt " && i + 16 <= b.length) return (0, 0, leAt(b, i + 12, 4))
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      (0, 0, 0)
+    } else (0, 0, 0)
   }
 
   /** STUB decode — replace with a real codec (??? in production builds).
@@ -50,18 +168,21 @@ object MultimodalOps {
   }
 
   /** Batched feature extraction: one pass per partition, reusing buffers —
-    * the shape a Pandas-UDF/mapInPandas implementation would have. */
+    * the shape a Pandas-UDF/mapInPandas implementation would have. Header
+    * metadata (width/height/sample_rate) is PARSED from the bytes, not
+    * copied from the metadata columns. */
   def extractFeatures(media: Dataset[MediaRow], dims: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
         val feat = decodeStub(m.bytes, dims)
+        val (w, h, sr) = parseHeader(m.bytes)
         val frames = m.kind match {
           case "video" => math.max(1, m.bytes.length / 32) // frame-sample stub
           case "audio" => math.max(1, m.bytes.length / 16)
           case _       => 1
         }
-        MediaFeatures(m.media_id, m.kind, m.bytes.length, feat, frames)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, sr, feat, frames)
       }
     }
   }
