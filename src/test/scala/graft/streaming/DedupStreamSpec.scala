@@ -232,6 +232,51 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(n == 1 && spark.read.parquet(s"$outDir/sketches").count() == 1)
   }
 
+  test("a second writer aborts while the writer lock is held, and resumes after release") {
+    val dir = java.nio.file.Files.createTempDirectory("deduplock").toString
+    val outDir = s"$dir/out"
+    val text = (0 until 200).map(i => s"word$i").mkString(" ")
+    DedupStream.dedupBatch(Seq((10L, text)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    // simulate a live drain holding the lock (e.g. a long micro-batch)
+    DedupStream.acquireWriterLock(spark, outDir, "drain batch=1")
+    try {
+      val e1 = intercept[IllegalStateException] {
+        DedupStream.compactSketches(spark, outDir)
+      }
+      assert(e1.getMessage.contains("another writer") && e1.getMessage.contains("pid="),
+        e1.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        DedupStream.revalidatePairs(spark, outDir)
+      }
+      assert(e2.getMessage.contains("another writer"), e2.getMessage)
+      val e3 = intercept[IllegalStateException] {
+        DedupStream.dedupBatch(Seq((20L, text)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+      }
+      assert(e3.getMessage.contains("another writer"), e3.getMessage)
+      // aborted writers must not have touched the tables
+      assert(spark.read.parquet(s"$outDir/sketches").count() == 1)
+    } finally DedupStream.releaseWriterLock(spark, outDir)
+    // after release every writer proceeds, and the lock is self-cleaning
+    DedupStream.dedupBatch(Seq((20L, text)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    assert(DedupStream.compactSketches(spark, outDir) == 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/.writer-lock")),
+      "lock file must not outlive its holder")
+  }
+
+  test("a crashed holder's stale lock is cleared by forceReleaseWriterLock") {
+    val dir = java.nio.file.Files.createTempDirectory("deduplockstale").toString
+    val outDir = s"$dir/out"
+    val text = (0 until 200).map(i => s"word$i").mkString(" ")
+    DedupStream.dedupBatch(Seq((10L, text)).toDF("doc_id", "text"), 0L, outDir, 0.5)
+    DedupStream.acquireWriterLock(spark, outDir, "crashed-compactor")
+    intercept[IllegalStateException] {
+      DedupStream.dedupBatch(Seq((20L, text)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    }
+    DedupStream.forceReleaseWriterLock(spark, outDir)
+    DedupStream.dedupBatch(Seq((20L, text)).toDF("doc_id", "text"), 1L, outDir, 0.5)
+    assert(spark.read.parquet(s"$outDir/sketches").count() == 2)
+  }
+
   test("a re-crawled doc_id meets its own earlier sketch without self-pairing") {
     val dir = java.nio.file.Files.createTempDirectory("dedupcrawl").toString
     val outDir = s"$dir/out"
