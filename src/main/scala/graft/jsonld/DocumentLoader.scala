@@ -9,11 +9,12 @@ package graft.jsonld
   *    (manual loop, Location taken verbatim, max 20 redirects)
   *  - document carrier: /root/reference/src/json-ld.net/Core/RemoteDocument.cs
   *
-  * The TRANSPORT is a seam ([[HttpTransport]]): this sandbox is
-  * zero-egress, so no socket implementation ships — the W3C remote-doc
+  * The TRANSPORT is a seam ([[HttpTransport]]): the W3C remote-doc
   * conformance manifest drives the full algorithm through a fixture
-  * transport (W3CConformanceSpec), and a production deployment plugs a
-  * real HTTP client into the seam without touching the algorithm. On a
+  * transport (W3CConformanceSpec), and [[JdkHttpTransport]] is the
+  * production implementation over `java.net.http` — never constructed by
+  * the library itself (this build stays zero-egress; CI drives it against
+  * a loopback fixture only, JdkHttpTransportSpec). On a
   * Spark pipeline the loader runs inside the per-document flatMap only
   * when a context cache misses; crawl workloads should keep the offline
   * [[ContextCache]] in front of it.
