@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5b"
+  private val Version = "r5c"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -212,6 +212,33 @@ object AuxTables {
       tr.unionByName(tr.filter(pmod(xxhash64(col("subj")), lit(3)) === 0))
         .unionByName(tr.filter(pmod(xxhash64(col("subj")), lit(7)) === 0))
         .coalesce(2).write.mode("overwrite").parquet(s"$d/triples_dup")
+    }
+
+    // 3f. PII-planted corpus for the scrub oracle: each doc's leading 20
+    //     tokens plus deterministically planted emails (every 5th doc),
+    //     phone numbers (every 7th), and IPv4 addresses (every 11th) —
+    //     overlaps give multi-kind docs, the rest are negative cases.
+    //     q_pii_scrub's DuckDB oracle re-runs the same regex pipeline
+    //     over this parquet.
+    locally {
+      import org.apache.spark.sql.functions._
+      val id = col("doc_id").cast("long")
+      val w = filter(split(col("text"), "\\s+"), t => t =!= "")
+      val base = array_join(slice(w, 1, 20), " ")
+      val email = when(id % 5 === 0,
+        concat(lit(" contact user"), id, lit("@example.com for details")))
+        .otherwise(lit(""))
+      val phone = when(id % 7 === 0,
+        concat(lit(" call 555-"), lpad(pmod(id, lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(id * 13, lit(10000)).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(lit(""))
+      val ip = when(id % 11 === 0,
+        concat(lit(" logged from 10.0."), pmod(id, lit(256)), lit("."),
+          pmod(id * 3, lit(256)), lit(" today")))
+        .otherwise(lit(""))
+      docs.select(id.as("doc_id"),
+          concat(base, email, phone, ip).as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_pii")
     }
 
     // 4. keys-only ANN sketch of the sf embeddings table (build once,

@@ -34,7 +34,8 @@ object PlanAudit {
       "q_kg_entitylink_cold", "q_kg_flatten", "q_kg_frame", "q_kg_frame_d2",
       "q_kg_stats", "q_turtle_ingest", "q_turtle_ingest_bnodes",
       "q_dedup_incremental", "q_dedup_hotbucket", "q_kg_triples_norm",
-      "q_dedup_lines", "q_decontaminate", "q_kg_compact")
+      "q_dedup_lines", "q_decontaminate", "q_kg_compact",
+      "q_pii_scrub", "q_doc_repetition")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

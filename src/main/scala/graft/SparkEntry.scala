@@ -479,6 +479,20 @@ object SparkEntry {
       CurationOps.decontaminate(t(s, dir, "documents"),
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/eval_docs"), n = 13)
         .orderBy(col("doc_id"))),
+    // PII scrubbing over the planted corpus: email/IPv4/phone redaction
+    // with per-doc match counts; the oracle re-runs the same (RE2-safe)
+    // regex pipeline in DuckDB over the same parquet
+    "q_pii_scrub" -> ((s, dir) =>
+      CurationOps.scrubPii(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_pii"))
+        .orderBy(col("doc_id"))),
+    // Gopher-style repetition signals over the multi-line corpus:
+    // dup-line fraction + top word/bigram multiplicity fractions, all
+    // per-row folds; the oracle recomputes them with unnest + count
+    "q_doc_repetition" -> ((s, dir) =>
+      CurationOps.repetitionMetrics(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_lines"))
+        .orderBy(col("doc_id"))),
     // global cross-partition triple compaction (KgCompact.compact) over a
     // deliberately partition-duplicated triples table; oracle = DISTINCT
     "q_kg_compact" -> ((s, dir) =>
@@ -993,6 +1007,54 @@ object SparkEntry {
         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
         |FROM dg LEFT JOIN ov ON dg.doc_id = ov.doc_id
         |ORDER BY dg.doc_id""".stripMargin,
+
+    // PII scrub: the SAME regex constants (interpolated, so the two
+    // engines can never drift) re-run in DuckDB — RE2-safe patterns (no
+    // alternation/backrefs) make leftmost-first == leftmost-longest
+    "q_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${CurationOps.EmailRe}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${CurationOps.Ipv4Re}')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${CurationOps.PhoneRe}')) AS INTEGER) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${CurationOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${CurationOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${CurationOps.PhoneRe}', '<PHONE>', 'g') AS text_scrubbed
+         |FROM read_parquet('{AUX}/docs_pii/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+
+    // repetition signals: dup-line fraction from list_distinct, top
+    // word/bigram multiplicities via unnest + count + max per doc
+    "q_doc_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ln,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM read_parquet('{AUX}/docs_lines/*.parquet')),
+        |g AS (
+        |  SELECT doc_id, ln, w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+        |      ELSE [] END AS bg
+        |  FROM d),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM (
+        |         SELECT doc_id, word, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS word FROM g)
+        |         GROUP BY doc_id, word)
+        |       GROUP BY doc_id),
+        |bc AS (SELECT doc_id, max(c) AS topb FROM (
+        |         SELECT doc_id, b, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(bg) AS b FROM g)
+        |         GROUP BY doc_id, b)
+        |       GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CAST(len(g.ln) AS INTEGER) AS n_lines,
+        |  round((len(g.ln) - len(list_distinct(g.ln)))::DOUBLE
+        |    / greatest(len(g.ln), 1), 4) AS dup_line_frac,
+        |  CAST(len(g.w) AS INTEGER) AS n_words,
+        |  round(coalesce(wc.topw, 0)::DOUBLE / greatest(len(g.w), 1), 4) AS top_word_frac,
+        |  round(coalesce(bc.topb, 0)::DOUBLE / greatest(len(g.w) - 1, 1), 4) AS top_bigram_frac
+        |FROM g LEFT JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // global compaction: DISTINCT over the partition-duplicated table
     "q_kg_compact" ->

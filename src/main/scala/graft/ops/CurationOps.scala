@@ -81,6 +81,91 @@ object CurationOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** PII patterns, shared with the DuckDB oracle verbatim. Constraints
+    * for exact cross-engine parity (Java regex is backtracking
+    * leftmost-FIRST, RE2 is leftmost-LONGEST): no alternation, no
+    * backreferences, no lookaround — with only greedy quantifiers over
+    * disjoint character classes the two disciplines pick identical
+    * matches. `\b` is the ASCII word boundary in both. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * after dedup: emails, IPv4 addresses, and phone-shaped numbers are
+    * replaced with typed placeholder tokens, with per-doc match counts
+    * (counted on the ORIGINAL text) for audit/filter decisions.
+    *
+    * Replacement order is part of the contract: email, then IP, then
+    * phone — each later pattern runs over the previous pass's output, so
+    * a digit run inside an already-redacted token can't double-match.
+    *
+    * Scale shape: one narrow projection, all codegen'd native regexp
+    * expressions — per-row work, zero exchange, zero UDFs; at 100 TB
+    * this pipelines inside whatever scan already reads the text. */
+  def scrubPii(documents: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+      scrubbed.as("text_scrubbed"))
+  }
+
+  /** Longest run of equal values in `arr`, counted after sorting — i.e.
+    * the multiplicity of the array's most frequent element, computed
+    * entirely inside the row (sort_array + a single `aggregate` fold), so
+    * a per-doc mode costs no exchange at any corpus size. */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals — the quality-filter inputs that
+    * catch template/boilerplate mass: per document, the fraction of
+    * repeated lines (1 - distinct/total) and the corpus-standard
+    * most-frequent-word and most-frequent-bigram fractions. A high
+    * dup_line_frac or top-n-gram fraction marks auto-generated pages
+    * that document-level dedup keeps (each page unique) but a filter
+    * should drop.
+    *
+    * All metrics are per-row Column folds ([[maxMultiplicity]] — no
+    * explode, no shuffle): the whole operator is a narrow projection
+    * that pipelines inside the text scan at any scale. */
+  def repetitionMetrics(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    // bigrams over the SAME token stream as the word metric (not the
+    // whitespace tokenization decontaminate uses) — one tokenizer per
+    // operator keeps the oracle a single CTE
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    documents.select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      round((size(lines) - size(array_distinct(lines))) /
+        greatest(size(lines), lit(1)).cast("double"), 4).as("dup_line_frac"),
+      size(words).as("n_words"),
+      round(maxMultiplicity(words) /
+        greatest(size(words), lit(1)).cast("double"), 4).as("top_word_frac"),
+      round(maxMultiplicity(bigrams) /
+        greatest(size(bigrams), lit(1)).cast("double"), 4).as("top_bigram_frac"))
+  }
+
   /** Eval-set decontamination: flag training documents sharing any
     * `n`-token n-gram with a held-out evaluation set (the standard
     * 13-gram-overlap rule next to dedup in an LLM curation pipeline).

@@ -27,6 +27,48 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((2, 0, "")), out(3L))
   }
 
+  test("scrubPii: emails, IPs, and phones redact with correct counts; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "reach me at alice.smith+spam@mail-host.example.org or bob@x.io thanks"),
+      (1L, "server 192.168.1.77 and 10.0.0.1 responded"),
+      (2L, "call 555-123-4567 or 555.987.6543 today"),
+      (3L, "mixed: eve@corp.com from 172.16.254.3 dial 800-555-0199"),
+      (4L, "no pii here, just words and the number 12345"),
+      (5L, "version 1.2.3.4.5 is not an ip boundary test")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.scrubPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"), r.getAs[Int]("n_phones"),
+          r.getAs[String]("text_scrubbed"))).toMap
+    assert(out(0L) == ((2, 0, 0, "reach me at <EMAIL> or <EMAIL> thanks")), out(0L))
+    assert(out(1L) == ((0, 2, 0, "server <IP> and <IP> responded")), out(1L))
+    assert(out(2L) == ((0, 0, 2, "call <PHONE> or <PHONE> today")), out(2L))
+    assert(out(3L) == ((1, 1, 1, "mixed: <EMAIL> from <IP> dial <PHONE>")), out(3L))
+    assert(out(4L)._4 == "no pii here, just words and the number 12345", out(4L))
+    // 1.2.3.4.5: the \b-bounded quad matches the leading 1.2.3.4 (the
+    // trailing .5 is outside the match) — same verdict in RE2 and Java
+    assert(out(5L)._2 == 1 && out(5L)._4 == "version <IP>.5 is not an ip boundary test",
+      out(5L))
+  }
+
+  test("repetitionMetrics: dup-line and top word/bigram fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b\na b\nc d"),          // 3 lines, 2 distinct; words a b a b c d
+      (1L, "spam spam spam spam"),    // 1 line; top word 4/4, top bigram 3/3
+      (2L, "all distinct words here") // no repetition at all
+    ).toDF("doc_id", "text")
+    val out = CurationOps.repetitionMetrics(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Double]("dup_line_frac"),
+          r.getAs[Int]("n_words"), r.getAs[Double]("top_word_frac"),
+          r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(out(0L) == ((3, 0.3333, 6, 0.3333, 0.4)), out(0L))
+    assert(out(1L) == ((1, 0.0, 4, 1.0, 1.0)), out(1L))
+    assert(out(2L) == ((1, 0.0, 4, 0.25, 0.3333)), out(2L))
+  }
+
   test("lineDedup: every distinct line survives exactly once corpus-wide") {
     import spark.implicits._
     val docs = Seq(
