@@ -24,6 +24,10 @@ object SparkEntry {
   private def annQuerySqlLiteral: String =
     annQuery.map(v => f"${v.toDouble}%.2f").mkString("[", ", ", "]::DOUBLE[]")
 
+  /** Length-band keep rates for q_sample_stratified — one definition
+    * feeds both the query and the oracle's interpolated thresholds. */
+  private val StratRates = Map("long" -> 1.0, "mid" -> 0.5, "short" -> 0.1)
+
   /** Flagship: full KG-construction spine on a synthetic page table —
     * extract → expand → toRDF → dedup → triples. */
   def entry(spark: SparkSession): DataFrame = {
@@ -492,6 +496,18 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, dir) =>
       CurationOps.repetitionMetrics(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_lines"))
+        .orderBy(col("doc_id"))),
+    // token-budget shard packing via a distributed prefix sum (bucketed
+    // partial sums + driver prefix + within-bucket window); the oracle
+    // is the plain single-window cumsum the distributed plan must equal
+    "q_pack_shards" -> ((s, dir) =>
+      CurationOps.packShards(t(s, dir, "documents"), budget = 2000L,
+        bucketWidth = 64L)
+        .orderBy(col("doc_id"))),
+    // deterministic stratified sampling (length-band quotas, MINSTD
+    // residue splitter) — the keep/drop verdict re-derived exactly in SQL
+    "q_sample_stratified" -> ((s, dir) =>
+      CurationOps.sampleStratified(t(s, dir, "documents"), StratRates)
         .orderBy(col("doc_id"))),
     // global cross-partition triple compaction (KgCompact.compact) over a
     // deliberately partition-duplicated triples table; oracle = DISTINCT
@@ -1055,6 +1071,41 @@ object SparkEntry {
         |  round(coalesce(bc.topb, 0)::DOUBLE / greatest(len(g.w) - 1, 1), 4) AS top_bigram_frac
         |FROM g LEFT JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // shard packing: the oracle is the SINGLE-window global cumsum; the
+    // engine's bucketed prefix-sum plan must reproduce it exactly
+    "q_pack_shards" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS cum_tokens
+        |      FROM d)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  (cum_tokens - n_tokens) // 2000 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // stratified sampling: thresholds interpolated from the SAME Scala
+    // rate map (floor semantics pinned on the Scala side — a SQL-side
+    // double cast would round, not truncate)
+    "q_sample_stratified" ->
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS nw
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN nw >= 60 THEN 'long'
+         |             WHEN nw >= 20 THEN 'mid' ELSE 'short' END AS stratum,
+         |        (doc_id * ${CurationOps.SampleMult} + 11) % ${CurationOps.SampleMod} AS u
+         |      FROM d)
+         |SELECT doc_id, stratum, u,
+         |  u < (CASE stratum ${StratRates.map { case (k, r) =>
+                  s"WHEN '$k' THEN ${(r * CurationOps.SampleMod).toLong}"
+                }.mkString(" ")} END) AS sampled
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     // global compaction: DISTINCT over the partition-duplicated table
     "q_kg_compact" ->

@@ -166,6 +166,76 @@ object CurationOps {
         greatest(size(bigrams), lit(1)).cast("double"), 4).as("top_bigram_frac"))
   }
 
+  /** Token-budget shard packing — the "concatenate-and-chunk" layout a
+    * training run reads: documents ordered by doc_id form one logical
+    * token stream, and each document is assigned to the shard in which
+    * its first token falls (`shard = floor(tokens_before_doc / budget)`,
+    * GPT-style continuous packing where a document may straddle a
+    * boundary).
+    *
+    * The global running total is a DISTRIBUTED prefix sum, not a
+    * single-partition window: doc_ids bucket into contiguous ranges of
+    * `bucketWidth`, per-bucket token sums come back to the driver (a
+    * BOUNDED collect — one 16-byte row per bucket; size `bucketWidth` so
+    * buckets number ~1e4-1e5 at any corpus size), the driver prefix-sums
+    * them into per-bucket offsets, and each row's global position is its
+    * broadcast bucket offset plus a within-bucket window cumsum —
+    * parallel over buckets, never a single-ordered-partition shuffle.
+    * Tokens are whitespace runs (the corpus-standard count; swap the
+    * splitter to a BPE count upstream if the budget is model-tokens). */
+  def packShards(documents: DataFrame, budget: Long,
+                 bucketWidth: Long = 1024L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0)
+    val spark = documents.sparkSession
+    val toks = documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_tokens"),
+      floor(col("doc_id").cast("long") / lit(bucketWidth)).cast("long").as("bucket"))
+    val bucketSums = toks.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = bucketSums.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, s)) => (b, acc + s)
+    }.sliding(2).collect { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    import spark.implicits._
+    val offsetDf = offsets.toDF("bucket", "bucket_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    toks.join(broadcast(offsetDf), Seq("bucket"))
+      .withColumn("cum_tokens", col("bucket_offset") + sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget))
+          .cast("long").as("shard"))
+  }
+
+  /** Deterministic stratified sampling — per-stratum keep rates with a
+    * splitter that is EXACTLY re-derivable in any SQL engine (a
+    * full-period multiplicative residue over a prime modulus, pure
+    * integer arithmetic with no 64-bit overflow for doc_id < 2^47):
+    * audit and downstream systems can recompute exactly which rows were
+    * kept without running this engine — the reproducibility property a
+    * curation pipeline wants from its sampling step. Strata here are
+    * length bands (the common quota: keep long documents, thin out
+    * short ones); `rates` maps stratum -> keep fraction. */
+  val SampleMod = 100003L // prime
+  val SampleMult = 48271L // MINSTD multiplier
+
+  def sampleStratified(documents: DataFrame,
+                       rates: Map[String, Double]): DataFrame = {
+    val nWords = size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+    val stratum = when(nWords >= 60, lit("long"))
+      .when(nWords >= 20, lit("mid"))
+      .otherwise(lit("short"))
+    val u = pmod(col("doc_id").cast("long") * lit(SampleMult) + lit(11L), lit(SampleMod))
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit((r * SampleMod).toLong)).otherwise(acc)
+    }
+    documents.select(col("doc_id").cast("long").as("doc_id"),
+      stratum.as("stratum"), u.as("u"), (u < threshold).as("sampled"))
+  }
+
   /** Eval-set decontamination: flag training documents sharing any
     * `n`-token n-gram with a held-out evaluation set (the standard
     * 13-gram-overlap rule next to dedup in an LLM curation pipeline).

@@ -69,6 +69,58 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((1, 0.0, 4, 0.25, 0.3333)), out(2L))
   }
 
+  test("packShards: bucketed prefix sum equals the sequential cumsum, shards split on budget") {
+    import spark.implicits._
+    // 10 docs of 5 tokens each, budget 12: shards hold docs by their
+    // STARTING token offset — 0,5,10 -> shard 0; 15,20 -> 1; 25,30,35 -> 2...
+    val docs = (0L until 10L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val out = CurationOps.packShards(docs, budget = 12L, bucketWidth = 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (0L until 10L).map { i =>
+      val cum = (i + 1) * 5
+      (i, 5L, cum, (cum - 5) / 12)
+    }
+    assert(out.toSeq == expected, out.toSeq)
+    // bucketWidth must not affect the answer (pure parallelism knob)
+    val wide = CurationOps.packShards(docs, budget = 12L, bucketWidth = 1000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(wide.toSeq == expected, "bucketWidth changed the packing")
+  }
+
+  test("packShards: sparse doc_ids and uneven lengths still pack by global order") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "one two three"),           // 3 tokens, cum 3, shard 0
+      (100L, "a b c d e f g"),         // 7 tokens, cum 10, starts at 3 -> shard 0
+      (2000L, "x y"),                  // 2 tokens, cum 12, starts at 10 -> shard 1
+      (2001L, "z")                     // 1 token, cum 13, starts at 12 -> shard 1
+    ).toDF("doc_id", "text")
+    val out = CurationOps.packShards(docs, budget = 10L, bucketWidth = 8L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((3L, 3L, 0L), (100L, 10L, 0L), (2000L, 12L, 1L), (2001L, 13L, 1L)), out)
+  }
+
+  test("sampleStratified: strata by length band, verdict from the MINSTD residue") {
+    import spark.implicits._
+    val mkWords = (n: Int) => (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, mkWords(70)),  // long
+      (1L, mkWords(30)),  // mid
+      (2L, mkWords(5))    // short
+    ).toDF("doc_id", "text")
+    val rates = Map("long" -> 1.0, "mid" -> 0.5, "short" -> 0.0)
+    val out = CurationOps.sampleStratified(docs, rates).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    def u(id: Long) = (id * CurationOps.SampleMult + 11L) % CurationOps.SampleMod
+    assert(out == Seq(
+      (0L, "long", u(0), true),                     // rate 1.0 keeps everything
+      (1L, "mid", u(1), u(1) < 50001L),
+      (2L, "short", u(2), false)), out)             // rate 0.0 drops everything
+  }
+
   test("lineDedup: every distinct line survives exactly once corpus-wide") {
     import spark.implicits._
     val docs = Seq(
