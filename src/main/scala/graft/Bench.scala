@@ -182,8 +182,24 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val n = TripleEmit.pipeline(PageGen.pages(spark, nPages, 42L, partitions)).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"bench":"scaling","cores":$cores,"pass":$pass,"pages":$nPages,"partitions":$partitions,"triples":$n,"seconds":$sec%.3f,"triples_per_sec":${n / sec}%.1f}""")
+      println(f"""{"bench":"scaling","cores":$cores,"pass":$pass,"pages":$nPages,"partitions":$partitions,"triples":$n,"seconds":$sec%.3f,"triples_per_sec":${n / sec}%.1f,"cpus_allowed":"${cpusAllowed()}"}""")
     }
     spark.stop()
   }
+
+  /** The OS-level CPU affinity of THIS JVM, read from /proc/self/status —
+    * stamped into every pass line so a scaling artifact proves its own
+    * pinning. Round 5 found a session where `taskset -c 0-7 sbt ...`
+    * launched through a background supervisor did NOT propagate to the
+    * JVM (observed affinity 0-31): without self-reporting, that session's
+    * "8-core" half would have silently recorded unrestricted numbers and
+    * wrecked the N-vs-4N efficiency computation. Non-Linux → "n/a". */
+  private def cpusAllowed(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("Cpus_allowed_list:") => l.split(":\\s*", 2)(1).trim
+      }.getOrElse("n/a")
+      finally src.close()
+    } catch { case _: java.io.IOException => "n/a" }
 }
