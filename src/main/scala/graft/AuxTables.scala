@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5c"
+  private val Version = "r5d"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -240,6 +240,13 @@ object AuxTables {
           concat(base, email, phone, ip).as("text"))
         .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_pii")
     }
+
+    // 3g. the KG corpus' page urls (Zipf-distributed hosts, so a small
+    //     cap binds on the head hosts) — q_host_quota's domain-diversity
+    //     verdict is re-derived in SQL with a plain row_number window.
+    PageGen.pages(spark, KgPages, seed = 42L, partitions = 8)
+      .select("url").toDF()
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/pages_urls")
 
     // 4. keys-only ANN sketch of the sf embeddings table (build once,
     //    probe many — VectorOps.Ann* constants pin the parameters)

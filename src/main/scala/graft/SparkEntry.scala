@@ -509,6 +509,12 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) =>
       CurationOps.sampleStratified(t(s, dir, "documents"), StratRates)
         .orderBy(col("doc_id"))),
+    // per-host quota (domain diversity cap): two-phase top-k for over-cap
+    // hosts; the oracle is the plain row_number window the phases equal
+    "q_host_quota" -> ((s, dir) =>
+      CurationOps.hostQuota(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/pages_urls"), cap = 10)
+        .orderBy(col("url"))),
     // global cross-partition triple compaction (KgCompact.compact) over a
     // deliberately partition-duplicated triples table; oracle = DISTINCT
     "q_kg_compact" -> ((s, dir) =>
@@ -1106,6 +1112,18 @@ object SparkEntry {
                   s"WHEN '$k' THEN ${(r * CurationOps.SampleMod).toLong}"
                 }.mkString(" ")} END) AS sampled
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // host quota: the sequential row_number verdict the two-phase
+    // engine plan must reproduce
+    "q_host_quota" ->
+      """WITH p AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1) AS host
+        |  FROM read_parquet('{AUX}/pages_urls/*.parquet')),
+        |r AS (SELECT url, host,
+        |        row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+        |      FROM p)
+        |SELECT url, host, rk <= 10 AS kept FROM r ORDER BY url""".stripMargin,
 
     // global compaction: DISTINCT over the partition-duplicated table
     "q_kg_compact" ->

@@ -236,6 +236,47 @@ object CurationOps {
       stratum.as("stratum"), u.as("u"), (u < threshold).as("sampled"))
   }
 
+  /** Per-host document quota — the RefinedWeb-style domain-diversity cap:
+    * keep at most `cap` pages per host (the first `cap` in url order, a
+    * deterministic tie-free rule), flagging the rest. Prevents a handful
+    * of mega-domains from dominating a crawl-derived training set.
+    *
+    * Skew is the whole problem at 100 TB (one host can hold 10^8 pages),
+    * so the plan never runs a naive per-host window over everything:
+    *   1. hosts at-or-under the cap (the overwhelming majority) bypass
+    *      ranking entirely — a keys-only count agg + anti-join, all rows
+    *      kept;
+    *   2. over-cap hosts go through TWO-PHASE top-k: phase 1 ranks
+    *      within (host, salt-of-url) — a mega-host spreads over `salt`
+    *      tasks — and only per-bucket top-`cap` survive (the global
+    *      top-cap is provably a subset of the union of bucket top-caps);
+    *      phase 2 ranks the ≤ salt×cap survivors per host, so NO task
+    *      ever sorts more than salt×cap rows of one host. Rows cut in
+    *      phase 1 are definitively over-quota and short-circuit to
+    *      kept=false. Raise `salt` for pathological single-host mass. */
+  def hostQuota(pages: DataFrame, cap: Int, salt: Int = 8): DataFrame = {
+    require(cap >= 1 && salt >= 1)
+    val withHost = pages.select(col("url"),
+      regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1).as("host"))
+    val hot = withHost.groupBy("host").agg(count(lit(1)).as("n_host"))
+      .filter(col("n_host") > cap).select("host")
+    val coldKept = withHost.join(hot, Seq("host"), "left_anti")
+      .select(col("url"), col("host"), lit(true).as("kept"))
+    val hotRows = withHost.join(hot, Seq("host"), "left_semi")
+      .withColumn("salt_b", pmod(xxhash64(col("url")), lit(salt)))
+    val wSalt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"), col("salt_b")).orderBy(col("url"))
+    val phase1 = hotRows.withColumn("rk1", row_number().over(wSalt))
+    val wHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("url"))
+    val hotKept = phase1.filter(col("rk1") <= cap)
+      .withColumn("rk", row_number().over(wHost))
+      .select(col("url"), col("host"), (col("rk") <= cap).as("kept"))
+    val hotDropped = phase1.filter(col("rk1") > cap)
+      .select(col("url"), col("host"), lit(false).as("kept"))
+    coldKept.unionByName(hotKept).unionByName(hotDropped)
+  }
+
   /** Eval-set decontamination: flag training documents sharing any
     * `n`-token n-gram with a held-out evaluation set (the standard
     * 13-gram-overlap rule next to dedup in an LLM curation pipeline).

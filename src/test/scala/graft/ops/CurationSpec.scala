@@ -121,6 +121,25 @@ class CurationSpec extends AnyFunSuite {
       (2L, "short", u(2), false)), out)             // rate 0.0 drops everything
   }
 
+  test("hostQuota: over-cap hosts keep the first cap urls, under-cap hosts bypass") {
+    import spark.implicits._
+    // host a: 6 pages over cap 3; host b: 2 pages (under cap, no ranking)
+    val urls = ((1 to 6).map(i => s"https://a.example/page/$i") ++
+      (1 to 2).map(i => s"https://b.example/page/$i")).toDF("url")
+    val got = CurationOps.hostQuota(urls, cap = 3, salt = 4).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got.size == 8, got)
+    (1 to 3).foreach(i => assert(got(s"https://a.example/page/$i") == (("a.example", true)), got))
+    (4 to 6).foreach(i => assert(got(s"https://a.example/page/$i") == (("a.example", false)), got))
+    (1 to 2).foreach(i => assert(got(s"https://b.example/page/$i") == (("b.example", true)), got))
+    // two-phase result is salt-invariant (pure parallelism knob)
+    val s1 = CurationOps.hostQuota(urls, cap = 3, salt = 1).collect()
+      .map(r => (r.getString(0), r.getBoolean(2))).toSet
+    val s16 = CurationOps.hostQuota(urls, cap = 3, salt = 16).collect()
+      .map(r => (r.getString(0), r.getBoolean(2))).toSet
+    assert(s1 == s16, "salt changed the verdict")
+  }
+
   test("lineDedup: every distinct line survives exactly once corpus-wide") {
     import spark.implicits._
     val docs = Seq(
