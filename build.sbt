@@ -33,4 +33,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // useful work). Pre-touching moves those faults out of the timed region.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
+) ++ (
+  // Throughput collector by default (round 5): the per-document pipeline
+  // is allocation-heavy, and with 32 task threads filling one G1 heap the
+  // collector costs ~half the run — measured on both the no-Spark probe
+  // (ThreadScaleProbe 32t: 499k -> 1,087k pages/s) and the interleaved
+  // full-pipeline A/B (G1 median ~1.0M t/s vs ParallelGC ~1.6M, best
+  // 2.05M). A GC named in EXTRA_JAVA_OPTS takes precedence (conflicting
+  // -XX:+Use*GC flags abort the JVM, so only add the default when unset).
+  if (sys.env.get("EXTRA_JAVA_OPTS").exists(_.contains("GC"))) Seq()
+  else Seq("-XX:+UseParallelGC")
 ) ++ sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
