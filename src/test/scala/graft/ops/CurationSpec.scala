@@ -103,6 +103,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq((3L, 3L, 0L), (100L, 10L, 0L), (2000L, 12L, 1L), (2001L, 13L, 1L)), out)
   }
 
+  test("edge cases: empty corpus and empty/whitespace texts never throw") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CurationOps.packShards(empty, budget = 100L).count() == 0)
+    assert(CurationOps.repetitionMetrics(empty).count() == 0)
+    assert(CurationOps.scrubPii(empty).count() == 0)
+    assert(CurationOps.hostQuota(empty.select(col("doc_id").cast("string").as("url")),
+      cap = 3).count() == 0)
+    val blank = Seq((1L, ""), (2L, "   "), (3L, "\n\n")).toDF("doc_id", "text")
+    val rm = CurationOps.repetitionMetrics(blank).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_words"), r.getAs[Double]("top_word_frac"),
+          r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(rm(1L) == ((0, 0.0, 0.0)) && rm(2L) == ((0, 0.0, 0.0)), rm)
+    val ps = CurationOps.packShards(blank, budget = 10L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ps == Seq((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L), (3L, 0L, 0L, 0L)), ps)
+    val sc = CurationOps.scrubPii(blank).collect()
+    assert(sc.forall(r => r.getAs[Int]("n_emails") == 0), sc.toSeq)
+  }
+
   test("sampleStratified: strata by length band, verdict from the MINSTD residue") {
     import spark.implicits._
     val mkWords = (n: Int) => (0 until n).map(i => s"w$i").mkString(" ")
