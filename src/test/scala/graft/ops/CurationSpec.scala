@@ -103,6 +103,49 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq((3L, 3L, 0L), (100L, 10L, 0L), (2000L, 12L, 1L), (2001L, 13L, 1L)), out)
   }
 
+  test("the curation stack composes: line-dedup -> decontaminate -> scrub -> host quota -> pack") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.example/p/1", "alpha beta gamma\ncommon footer line"),
+      (2L, "https://a.example/p/2", "delta epsilon zeta\ncommon footer line"),
+      (3L, "https://a.example/p/3", "eta theta iota\ncommon footer line"),
+      (4L, "https://b.example/p/1", "kappa lambda mu mail me at k@b.example"),
+      (5L, "https://b.example/p/2", (0 until 20).map(i => s"eval$i").mkString(" "))
+    ).toDF("doc_id", "url", "text")
+    val evalDocs = Seq((900L, (0 until 20).map(i => s"eval$i").mkString(" ")))
+      .toDF("eval_id", "text")
+    // 1. line-dedup: the shared footer survives only in doc 1
+    val deduped = CurationOps.lineDedup(docs.select("doc_id", "text"))
+      .select(col("doc_id"), col("text_dedup").as("text"))
+    // 2. decontamination (n=13): doc 5 holds a full eval window, flag it
+    val contaminated = CurationOps.decontaminate(deduped, evalDocs, n = 13)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. PII scrub
+    val scrubbed = CurationOps.scrubPii(clean)
+      .select(col("doc_id"), col("text_scrubbed").as("text"))
+    // 4. host quota (cap 2 on host a drops doc 3, the highest url)
+    val kept = CurationOps.hostQuota(docs.select("url", "doc_id"), cap = 2)
+    val keptDocs = scrubbed.join(
+      docs.select("doc_id", "url").join(kept.filter(col("kept")).select("url"), Seq("url")),
+      Seq("doc_id"))
+    // 5. pack the survivors
+    val packed = CurationOps.packShards(keptDocs.select("doc_id", "text"), budget = 8L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // survivors: 1, 2 (footer deduped away), 4 (email scrubbed); 3 quota-dropped, 5 contaminated
+    assert(packed.map(_._1) == Seq(1L, 2L, 4L), packed)
+    // doc 1 keeps both lines (5 tokens incl. footer? 3 + 3... footer is 3 tokens: 6);
+    // docs 2/3 lost the footer (3 tokens); doc 4's email became one <EMAIL> token
+    val tok = packed.map(p => p._1 -> p._2).toMap
+    assert(tok(1L) == 6L && tok(2L) == 3L && tok(4L) == 7L, tok)
+    // shard assignment follows the running total over survivors only
+    assert(packed.map(_._3) == Seq(0L, 0L, 1L), packed)
+    // the scrubbed text replaced the address
+    val t4 = scrubbed.filter(col("doc_id") === 4L).select("text").as[String].head()
+    assert(t4.endsWith("mail me at <EMAIL>"), t4)
+  }
+
   test("edge cases: empty corpus and empty/whitespace texts never throw") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
