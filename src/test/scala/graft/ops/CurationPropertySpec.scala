@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.SparkTestBase
+import scala.util.Random
+
+/** Randomized invariants for the curation operators, each checked against
+  * a straight-line Scala reference over the same corpus — the distributed
+  * plans (keys-only line ownership, bucketed prefix sum, two-phase host
+  * top-k) must reproduce the sequential semantics exactly on corpora with
+  * heavy duplication, skewed hosts, and degenerate documents. */
+class CurationPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def corpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val r = new Random(seed)
+    // small vocab + shared line pool => plenty of within- and cross-doc dups
+    val linePool = Vector.tabulate(12)(i => s"line $i ${"w" * (i % 3 + 1)}")
+    (0 until nDocs).map { d =>
+      val nLines = r.nextInt(5) + 1
+      val text = Seq.fill(nLines)(
+        if (r.nextBoolean()) linePool(r.nextInt(linePool.size))
+        else s"unique ${d} ${r.nextInt(1000)}").mkString("\n")
+      (d.toLong, text)
+    }
+  }
+
+  test("lineDedup: retained lines = distinct corpus lines, each exactly once, in-doc order kept") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val docs = corpus(seed, 40)
+      val out = CurationOps.lineDedup(docs.toDF("doc_id", "text"))
+        .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+      // reference: first (doc_id, pos) occurrence owns each line
+      val owned = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
+      docs.foreach { case (id, text) =>
+        text.split("\n", -1).zipWithIndex.foreach { case (l, p) =>
+          if (!owned.contains(l)) owned(l) = (id, p)
+        }
+      }
+      docs.foreach { case (id, text) =>
+        val expect = text.split("\n", -1).zipWithIndex
+          .filter { case (l, p) => owned(l) == ((id, p)) }.map(_._1).mkString("\n")
+        assert(out(id) == expect, s"seed=$seed doc=$id")
+      }
+      val retainedAll = out.values.flatMap(t => if (t.isEmpty) Nil else t.split("\n", -1)).toSeq
+      assert(retainedAll.sorted == owned.keys.toSeq.filter(_.nonEmpty).sorted ||
+        retainedAll.sorted == owned.keys.toSeq.sorted, s"seed=$seed corpus-wide multiset")
+    }
+  }
+
+  test("packShards: bucketed prefix sum == sequential cumsum for every bucketWidth") {
+    import spark.implicits._
+    for (seed <- Seq(7, 8)) {
+      val r = new Random(seed)
+      // sparse, shuffled-insertion doc_ids; some empty docs
+      val docs = (0 until 60).map { i =>
+        val id = i.toLong * (r.nextInt(50) + 1)
+        (id, if (r.nextInt(10) == 0) "" else Seq.fill(r.nextInt(12) + 1)("t").mkString(" "))
+      }.distinctBy(_._1)
+      val ref = docs.sortBy(_._1).foldLeft((0L, Map.empty[Long, (Long, Long)])) {
+        case ((acc, m), (id, text)) =>
+          val n = text.split("\\s+").count(_.nonEmpty).toLong
+          (acc + n, m + (id -> (n, acc + n)))
+      }._2
+      for (width <- Seq(1L, 7L, 64L, 100000L)) {
+        val got = CurationOps.packShards(docs.toDF("doc_id", "text"), budget = 13L,
+          bucketWidth = width).collect()
+          .map(r0 => r0.getLong(0) -> ((r0.getLong(1), r0.getLong(2), r0.getLong(3)))).toMap
+        docs.foreach { case (id, _) =>
+          val (n, cum) = ref(id)
+          assert(got(id) == ((n, cum, (cum - n) / 13L)), s"seed=$seed width=$width doc=$id")
+        }
+      }
+    }
+  }
+
+  test("hostQuota: two-phase verdict == plain sequential row_number for skewed hosts") {
+    import spark.implicits._
+    for (seed <- Seq(11, 12)) {
+      val r = new Random(seed)
+      // Zipf-ish: host h gets ~60/(h+1) pages -> head hosts far over cap
+      val urls = (0 until 8).flatMap { h =>
+        (0 until (60 / (h + 1))).map(i => s"https://h$h.example/p/${r.nextInt(100000)}")
+      }.distinct
+      val cap = 5
+      val got = CurationOps.hostQuota(urls.toDF("url"), cap = cap, salt = 4).collect()
+        .map(r0 => r0.getString(0) -> r0.getBoolean(2)).toMap
+      val ref = urls.groupBy(u => u.split("/")(2)).flatMap { case (_, us) =>
+        us.sorted.zipWithIndex.map { case (u, i) => u -> (i < cap) }
+      }
+      assert(got.size == urls.size, s"seed=$seed row count")
+      ref.foreach { case (u, kept) => assert(got(u) == kept, s"seed=$seed url=$u") }
+    }
+  }
+
+  test("sampleStratified: verdict is exactly the documented residue formula") {
+    import spark.implicits._
+    val r = new Random(21)
+    val docs = (0 until 80).map { i =>
+      (r.nextInt(1000000).toLong, Seq.fill(r.nextInt(100) + 1)(s"w${r.nextInt(9)}").mkString(" "))
+    }.distinctBy(_._1)
+    val rates = Map("long" -> 0.9, "mid" -> 0.4, "short" -> 0.05)
+    val got = CurationOps.sampleStratified(docs.toDF("doc_id", "text"), rates).collect()
+      .map(r0 => r0.getLong(0) -> ((r0.getString(1), r0.getBoolean(3)))).toMap
+    docs.foreach { case (id, text) =>
+      val nw = text.split("[^a-z0-9]+").count(_.nonEmpty)
+      val stratum = if (nw >= 60) "long" else if (nw >= 20) "mid" else "short"
+      val u = (id * CurationOps.SampleMult + 11L) % CurationOps.SampleMod
+      val kept = u < (rates(stratum) * CurationOps.SampleMod).toLong
+      assert(got(id) == ((stratum, kept)), s"doc=$id")
+    }
+  }
+}
