@@ -509,6 +509,13 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) =>
       CurationOps.sampleStratified(t(s, dir, "documents"), StratRates)
         .orderBy(col("doc_id"))),
+    // fixed-token chunking with overlap (RAG/training windows): one
+    // narrow posexplode; the oracle rebuilds every window with
+    // range()-generated starts and list slicing
+    "q_doc_chunks" -> ((s, dir) =>
+      CurationOps.chunkDocuments(t(s, dir, "documents"),
+        chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     // per-host quota (domain diversity cap): two-phase top-k for over-cap
     // hosts; the oracle is the plain row_number window the phases equal
     "q_host_quota" -> ((s, dir) =>
@@ -1112,6 +1119,21 @@ object SparkEntry {
                   s"WHEN '$k' THEN ${(r * CurationOps.SampleMod).toLong}"
                 }.mkString(" ")} END) AS sampled
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // chunking: windows rebuilt with range(1, n+1, step) starts and
+    // inclusive list slicing (step = chunk - overlap = 24)
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(w) AS n, unnest(range(1, len(w) + 1, 24)) AS s, w
+        |  FROM t WHERE len(w) > 0)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
+        |  CAST(least(32, n - (s - 1)) AS INTEGER) AS n_tokens,
+        |  array_to_string(w[s : least(s + 31, n)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // host quota: the sequential row_number verdict the two-phase
     // engine plan must reproduce

@@ -236,6 +236,36 @@ object CurationOps {
       stratum.as("stratum"), u.as("u"), (u < threshold).as("sampled"))
   }
 
+  /** Fixed-size token chunking with overlap — the RAG-indexing /
+    * training-window primitive: each document's token stream splits into
+    * windows of `chunkTokens`, each window starting `chunkTokens -
+    * overlap` after the previous, the final window short. A document with
+    * no tokens yields no chunks.
+    *
+    * Entirely per-row (token array + `sequence(0, n-1, step)` starts +
+    * one posexplode) — a narrow codegen projection whose output rows
+    * carry (doc_id, chunk_idx), so downstream embedding/indexing stages
+    * shuffle chunk-granularity rows without ever re-reading documents. */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int,
+                     overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val w = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val starts = when(size(w) > 0,
+      sequence(lit(0), size(w) - 1, lit(step)))
+      .otherwise(array().cast("array<int>"))
+    documents
+      .select(col("doc_id"),
+        size(w).as("doc_tokens"),
+        posexplode(transform(starts,
+          s => array_join(slice(w, s + 1, lit(chunkTokens)), " "))).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkTokens), col("doc_tokens") - col("chunk_idx") * step)
+          .as("n_tokens"),
+        col("chunk_text"))
+  }
+
   /** Per-host document quota — the RefinedWeb-style domain-diversity cap:
     * keep at most `cap` pages per host (the first `cap` in url order, a
     * deterministic tie-free rule), flagging the rest. Prevents a handful

@@ -146,6 +146,35 @@ class CurationSpec extends AnyFunSuite {
     assert(t4.endsWith("mail me at <EMAIL>"), t4)
   }
 
+  test("chunkDocuments: overlapping windows cover the stream, final chunk short") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                     // shorter than one chunk
+      (3L, "")                                         // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val out = CurationOps.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    // step 3: starts 0,3,6,9 -> windows [1..4],[4..7],[7..10],[10]
+    assert(out == Seq(
+      (1L, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 4, "t7 t8 t9 t10"),
+      (1L, 3, 1, "t10"),
+      (2L, 0, 2, "a b")), out)
+    // overlap reconstruction: dropping the first `overlap` tokens of every
+    // non-first chunk re-concatenates to the original token stream
+    val rebuilt = out.filter(_._1 == 1L).zipWithIndex.flatMap { case ((_, _, _, txt), i) =>
+      val ts = txt.split(" ").toSeq
+      if (i == 0) ts else ts.drop(1)
+    }
+    assert(rebuilt == (1 to 10).map(i => s"t$i"), rebuilt)
+    intercept[IllegalArgumentException] {
+      CurationOps.chunkDocuments(docs, chunkTokens = 4, overlap = 4)
+    }
+  }
+
   test("edge cases: empty corpus and empty/whitespace texts never throw") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
