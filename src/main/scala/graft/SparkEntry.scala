@@ -28,6 +28,38 @@ object SparkEntry {
     * feeds both the query and the oracle's interpolated thresholds. */
   private val StratRates = Map("long" -> 1.0, "mid" -> 0.5, "short" -> 0.1)
 
+  /** Iteration count shared by q_kg_hubs and its oracle. */
+  private val HubIterations = 6
+
+  /** The hub-scoring oracle: the SAME fixed-point iteration unrolled as
+    * chained CTEs (DuckDB's recursive CTEs can't aggregate over the
+    * recursive reference, so the fixed iteration count is spelled out —
+    * which also makes the oracle trivially auditable). `//` and Spark's
+    * `div` both truncate on the non-negative operands used here, and
+    * every sum is integral, so the two engines agree exactly. */
+  private def hubOracleSql: String = {
+    val steps = (1 to HubIterations).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.node,
+         |    CAST(150000000 + (85 * COALESCE(c.insum, 0)) // 100 AS BIGINT) AS score
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.score // o.d) AS BIGINT) AS insum
+         |    FROM pr${i - 1} p JOIN edges e ON p.node = e.src
+         |    JOIN outd o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT subj AS src, objValue AS dst
+       |  FROM read_parquet('{AUX}/triples/*.parquet')
+       |  WHERE objKind = 0 AND subj <> objValue),
+       |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM nodes),
+       |$steps
+       |SELECT node, score FROM pr$HubIterations
+       |ORDER BY score DESC, node LIMIT 100""".stripMargin
+  }
+
   /** Flagship: full KG-construction spine on a synthetic page table —
     * extract → expand → toRDF → dedup → triples. */
   def entry(spark: SparkSession): DataFrame = {
@@ -223,6 +255,15 @@ object SparkEntry {
       DedupOps.dedupComponents(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/neardup_pairs"))
         .orderBy(col("id"))),
+    // clusters -> keep/drop verdict: per-component survivor by
+    // (n_chars DESC, doc_id ASC), every corpus doc labeled; the oracle
+    // recomputes components via the recursive closure and the survivor
+    // via a row_number window over the same metadata column
+    "q_dedup_survivors" -> ((s, dir) =>
+      DedupOps.dedupSurvivors(
+        t(s, dir, "documents"),
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/neardup_pairs"))
+        .orderBy(col("doc_id"))),
     // append-mode dedup: the corpus split by doc_id parity into an
     // "existing" half whose sketches + pairs are PERSISTED aux artifacts
     // (the state an hourly append job owns — built once, extended per
@@ -325,6 +366,23 @@ object SparkEntry {
         .orderBy(col("degree").desc, col("subj"))
         .limit(100)
     }),
+    // fixed-point hub scoring (integer PageRank): the oracle unrolls the
+    // same iterations as chained CTEs — integer arithmetic makes the
+    // result exactly order-independent, so the distributed sums and
+    // DuckDB's single-node sums agree bit-for-bit (no float-parity dodge)
+    "q_kg_hubs" -> ((s, dir) =>
+      GraphMaterialize.hubScores(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        iterations = HubIterations)
+        .orderBy(col("score").desc, col("node"))
+        .limit(100)),
+    // entity co-occurrence edges (degree-capped per-subject self-join);
+    // oracle = the same dedup/cap/join/HAVING in plain SQL
+    "q_kg_cooccur" -> ((s, dir) =>
+      GraphMaterialize.entityCoOccurrence(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("n_subjects").desc, col("e1"), col("e2"))
+        .limit(100)),
     "q_kg_entitylink" -> ((s, dir) => {
       import s.implicits._
       val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
@@ -659,6 +717,25 @@ object SparkEntry {
         |  SELECT x, y FROM edges
         |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
         |SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x ORDER BY id""".stripMargin,
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT a AS x, b AS y FROM read_parquet('{AUX}/neardup_pairs/*.parquet')
+        |  UNION SELECT b, a FROM read_parquet('{AUX}/neardup_pairs/*.parquet')),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |comp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+        |labeled AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, comp, row_number() OVER (
+        |    PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM labeled),
+        |surv AS (SELECT comp, doc_id AS survivor FROM ranked WHERE rn = 1)
+        |SELECT l.doc_id, l.comp, s.survivor, l.doc_id = s.survivor AS keep
+        |FROM labeled l JOIN surv s USING (comp)
+        |ORDER BY l.doc_id""".stripMargin,
     "q_ann_topk" ->
       s"""SELECT vec_id, label FROM embeddings
          |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annQuerySqlLiteral) DESC, vec_id
@@ -788,6 +865,19 @@ object SparkEntry {
       """SELECT subj, count(*) AS degree
         |FROM read_parquet('{AUX}/triples/*.parquet')
         |GROUP BY subj ORDER BY degree DESC, subj LIMIT 100""".stripMargin,
+    "q_kg_hubs" -> hubOracleSql,
+    "q_kg_cooccur" ->
+      """WITH po AS (
+        |  SELECT DISTINCT subj, objValue AS ent
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE objKind = 0 AND subj <> objValue),
+        |kept AS (
+        |  SELECT po.subj, po.ent FROM po
+        |  JOIN (SELECT subj FROM po GROUP BY subj HAVING count(*) <= 64) k USING (subj))
+        |SELECT l.ent AS e1, r.ent AS e2, count(*) AS n_subjects
+        |FROM kept l JOIN kept r ON l.subj = r.subj AND l.ent < r.ent
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_subjects DESC, e1, e2 LIMIT 100""".stripMargin,
     "q_kg_entitylink" ->
       """SELECT coalesce(entity, '(unlinked)') AS entity, count(*) AS n_mentions
         |FROM (

@@ -558,6 +558,41 @@ object DedupOps {
     }
   }
 
+  /** Survivor selection — the step that turns near-dup CLUSTERS into a
+    * keep/drop verdict per document (identify → cluster → keep): within
+    * each component the document with the most content wins (max
+    * `n_chars`, ties to the smallest doc_id — deterministic, metadata
+    * column only, no text scan); documents in no component keep
+    * themselves. Output: (doc_id, comp, survivor, keep) for EVERY corpus
+    * document — the frame a curation pipeline filters on.
+    *
+    * Scale shape: ranking happens only over component MEMBERS (the pair
+    * table's id universe — a small fraction of the corpus; near-dup rates
+    * are single-digit percent at web scale), as one hash agg of 24-byte
+    * rows with an order-independent max(struct) — never a window over a
+    * global sort. The per-doc verdict is a left join of the corpus'
+    * keys-only projection against the member verdicts — both sides
+    * shuffle 16-24-byte rows on doc_id, and AQE broadcasts the verdict
+    * side when it is small. Eager by contract (components are resolved
+    * via [[dedupComponents]], which checkpoints). */
+  def dedupSurvivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = dedupComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val docs = documents.select(col("doc_id").cast("long").as("doc_id"),
+      col("n_chars").cast("long").as("n_chars"))
+    val verdicts = docs.join(comps, Seq("doc_id"))
+      .groupBy(col("comp"))
+      // max over (n_chars, -doc_id): most content, ties to SMALLEST id —
+      // a commutative agg, exact under any combine order
+      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("neg"))).as("m"))
+      .select(col("comp"), (-col("m.neg")).as("survivor"))
+    docs.join(comps.join(verdicts, Seq("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"),
+        coalesce(col("survivor"), col("doc_id")).as("survivor"))
+      .withColumn("keep", col("doc_id") === col("survivor"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** SimHash near-dups: 64-bit simhash, banded into 4×16-bit keys; docs

@@ -289,6 +289,93 @@ object GraphMaterialize {
       .toDF("surface", "entity")
   }
 
+  /** Fixed-point hub scoring over the entity graph (PageRank with damping
+    * 0.85, a fixed iteration count, and INTEGER arithmetic): ranks the
+    * entities whose surfaces belong in the hot-head broadcast dictionary
+    * (`hubDictionary` is hand-seeded today; this is how a crawl-scale
+    * pipeline would derive it from the graph itself).
+    *
+    * Why integer fixed-point (scores in units of 1e-9, seeded at 1.0 per
+    * node): floating-point sums depend on combine order, so a distributed
+    * PageRank can differ from a single-node re-derivation in the last
+    * ulp — unacceptable for this repo's exact-hash oracle gate. Integer
+    * sums commute EXACTLY, and truncating division (`div` here, `//` in
+    * DuckDB — identical on non-negatives) makes every iteration a pure
+    * function of the edge multiset, independent of partitioning. The
+    * oracle unrolls the same iterations as chained CTEs.
+    *
+    * Semantics: score' = 0.15 + 0.85 * sum(in-contribs), contrib =
+    * score div out_degree; dangling nodes (no out-edges) contribute
+    * nothing (their mass decays — the standard non-normalized variant).
+    * Unit bound: contributions sum below nodes×1e9, so 85×sum needs
+    * nodes < ~1e8 to stay in a signed 64-bit long; at larger graphs
+    * shrink the unit (e.g. 1e6) — the ranking is unit-invariant.
+    *
+    * Scale shape: edges+degrees are computed ONCE and localCheckpointed
+    * (each iteration references them; an un-truncated chain would re-scan
+    * the triple table per iteration — the multi-branch rule). Per
+    * iteration: one equi-join on src + one hash agg on dst, 24-byte rows,
+    * map-side partial sums; scores are checkpointed per round so the plan
+    * stays O(1) deep. Eager by contract (like DedupOps' sketch builders):
+    * calling this runs jobs. */
+  def hubScores(triples: DataFrame, iterations: Int = 6): DataFrame = {
+    val edges = triples
+      .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
+      .select(col("subj").as("src"), col("objValue").as("dst"))
+      .distinct()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // (src, dst, out_degree) — the loop-invariant frame, built once
+    val withDeg = edges.join(outDeg, Seq("src")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var scores = nodes.select(col("node"), lit(1000000000L).as("score"))
+    for (_ <- 1 to iterations) {
+      val inSums = withDeg
+        .join(scores.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("score div d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("insum"))
+      scores = nodes.join(inSums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000L) + expr("(85 * coalesce(insum, 0L)) div 100")).as("score"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
+
+  /** Entity co-occurrence edges: pairs of entity IRIs that appear as
+    * objects of the SAME subject (the "mentioned together" graph used for
+    * related-entity suggestion and embedding-training pair mining),
+    * weighted by the number of distinct subjects sharing them.
+    *
+    * Scale shape: the quadratic step is the per-subject self-join, so
+    * subjects are degree-capped FIRST — a keys-only count + filter drops
+    * hub subjects (a directory page with 10^5 outlinks would otherwise
+    * emit 10^10 pairs) before any pair is formed. Within the cap the
+    * self-join is an equi-join on subj over deduped (subj, ent) rows —
+    * co-partitioned under AQE with the groupBy that follows, map-side
+    * partial counts. Capped subjects are EXCLUDED, not sampled: a
+    * co-occurrence edge supported only by mega-hubs is noise for the
+    * dictionary use case, and exclusion keeps the oracle re-derivable
+    * by a plain SQL HAVING. */
+  def entityCoOccurrence(triples: DataFrame, maxDegree: Int = 64,
+      minSubjects: Long = 2L): DataFrame = {
+    val po = triples
+      .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
+      .select(col("subj"), col("objValue").as("ent"))
+      .distinct()
+    val kept = po.join(
+      po.groupBy(col("subj")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= maxDegree)
+        .select(col("subj")),
+      Seq("subj"))
+    kept.as("l").join(kept.as("r"),
+        col("l.subj") === col("r.subj") && col("l.ent") < col("r.ent"))
+      .select(col("l.ent").as("e1"), col("r.ent").as("e2"))
+      .groupBy(col("e1"), col("e2")).agg(count(lit(1)).as("n_subjects"))
+      .filter(col("n_subjects") >= minSubjects)
+  }
+
   /** Deliberately LARGE dictionary for the cold-tail path: the hub head
     * plus `perKind`×5 generated tail entries whose surfaces align with the
     * corpus' actual name literals ("Product N", "Org N", "Person N",

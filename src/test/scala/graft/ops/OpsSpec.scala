@@ -28,6 +28,21 @@ class OpsSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L), comps)
   }
 
+  test("dedup survivors: per-component content argmax, singletons keep themselves") {
+    import spark.implicits._
+    val docs = Seq((1L, 100L), (2L, 300L), (3L, 300L), (7L, 50L), (8L, 60L), (9L, 10L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val r = DedupOps.dedupSurvivors(docs, pairs)
+      .select("doc_id", "comp", "survivor", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // comp {1,2,3}: n_chars ties at 300 between 2 and 3 -> smallest id (2) wins;
+    // comp {7,8}: 8 has more content; 9 is in no pair -> survives alone
+    assert(r == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (7L, 7L, 8L, false), (8L, 7L, 8L, true), (9L, 9L, 9L, true)), r)
+  }
+
   test("observe metrics ride the action, no second scan") {
     val obs = org.apache.spark.sql.Observation("opsspec_obs")
     val out = java.nio.file.Files.createTempDirectory("obs").toString

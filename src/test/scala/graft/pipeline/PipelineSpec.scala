@@ -436,6 +436,38 @@ class PipelineSpec extends AnyFunSuite {
       assert(plan.contains("salt_b"), s"expected the salted key in the SMJ in:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("hub scores: integer fixed-point PageRank matches the hand-computed iteration") {
+    import spark.implicits._
+    // a -> b, c -> b, b -> a; plus a literal and a self-loop that must be ignored
+    val triples = Seq(
+      ("a", "p", 0.toByte, "b"), ("c", "p", 0.toByte, "b"), ("b", "p", 0.toByte, "a"),
+      ("a", "p", 2.toByte, "some literal"), ("a", "p", 0.toByte, "a")
+    ).toDF("subj", "pred", "objKind", "objValue")
+    val r = GraphMaterialize.hubScores(triples, iterations = 2)
+      .as[(String, Long)].collect().toMap
+    // iter1: b <- 1e9 (a) + 1e9 (c) -> 150e6 + 85*2e9/100 = 1,850,000,000
+    //        a <- 1e9 (b)           -> 1,000,000,000 ; c (no in-edges) -> 150,000,000
+    // iter2: a <- 1.85e9 (b) -> 150e6 + 85*1.85e9 div 100 = 1,722,500,000
+    //        b <- 1e9 (a) + 150e6 (c) -> 150e6 + 85*1.15e9 div 100 = 1,127,500,000
+    assert(r == Map("a" -> 1722500000L, "b" -> 1127500000L, "c" -> 150000000L), r)
+  }
+
+  test("entity co-occurrence: degree cap excludes hub subjects, minSubjects filters noise") {
+    import spark.implicits._
+    val base = Seq(
+      ("s1", "A"), ("s1", "B"), ("s1", "C"),
+      ("s2", "A"), ("s2", "B"),
+      ("s3", "A"), ("s3", "B"), ("s3", "B") // duplicate (s3,B) must dedup
+    )
+    // hub subject with 11 distinct objects: over maxDegree=10, must be dropped
+    val hub = (0 until 11).map(i => ("hub", s"H$i"))
+    val triples = (base ++ hub).map { case (s, o) => (s, "p", 0.toByte, o) }
+      .toDF("subj", "pred", "objKind", "objValue")
+    val r = GraphMaterialize.entityCoOccurrence(triples, maxDegree = 10, minSubjects = 2L)
+      .as[(String, String, Long)].collect().toSet
+    assert(r == Set(("A", "B", 3L)), r)
+  }
 }
 
 object W3CFixtures {
