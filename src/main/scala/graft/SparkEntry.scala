@@ -219,6 +219,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)
     }),
+    // per-doc salient terms: integer tf-idf surrogate (tf * 1e6 div df),
+    // top-k WITH boundary ties so the contract needs no cross-engine
+    // tie-break; hashes-only shuffles, strings recovered for candidates
+    "q_tfidf_topterms" -> ((s, dir) =>
+      TextOps.topTermsTfIdf(t(s, dir, "documents"), k = 5)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))),
     "q_emb_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .groupBy(col("label"))
@@ -670,6 +676,25 @@ object SparkEntry {
         |  + least(length(text) - length(replace(text, ' ', '')) , 50) / 50.0
         |) / 3.0, 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    CAST(t.tf * 1000000 // d.df AS BIGINT) AS score
+        |  FROM tf t JOIN df d USING (term)),
+        |th AS (
+        |  SELECT doc_id, min(score) AS kth FROM (
+        |    SELECT doc_id, score,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC) AS rn
+        |    FROM scored) WHERE rn <= 5 GROUP BY doc_id)
+        |SELECT s.doc_id, s.term, s.tf, s.df, s.score
+        |FROM scored s JOIN th ON s.doc_id = th.doc_id AND s.score >= th.kth
+        |ORDER BY s.doc_id, s.score DESC, s.term""".stripMargin,
     "q_emb_stats" ->
       """SELECT label, count(*) AS n, min(len(embedding)) AS dim
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,

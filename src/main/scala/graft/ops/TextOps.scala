@@ -74,6 +74,62 @@ object TextOps {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Per-document salient terms by an INTEGER tf-idf surrogate:
+    * `score = tf * 1e6 div df` — monotone in tf/df (the rational tf-idf
+    * core without the float log), so it ranks identically to tf·idf for
+    * fixed tf, and the integer arithmetic is exactly reproducible by a
+    * SQL oracle (the repo's float-parity rule). Output: every (doc_id,
+    * term, tf, df, score) whose score reaches the document's k-th
+    * highest — top-k WITH boundary ties, which makes the contract
+    * tie-break-free (no cross-engine string-vs-hash ordering hazard).
+    *
+    * Scale shape (the q_ngram_topk pattern, per-doc): the tf and df
+    * shuffles carry 8-byte xxhash64 term keys, never term strings; the
+    * per-doc threshold is a window over the already-aggregated tf frame
+    * (rows per doc = distinct terms, bounded by doc length); term
+    * strings are recovered for the ~k·docs candidate rows only, via a
+    * second narrow scan semi-joined on the candidate hash set — at
+    * 100 TB a rescan is cheaper than an all-strings exchange. A 64-bit
+    * collision would merge two terms' df, so the recovery join asserts
+    * one distinct term per candidate hash and raises instead of
+    * mislabeling (the ngram tripwire). */
+  def topTermsTfIdf(documents: DataFrame, k: Int = 5): DataFrame = {
+    val toks = documents.select(col("doc_id").cast("long").as("doc_id"),
+      explode(filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")).as("term"))
+    val tf = toks.select(col("doc_id"), xxhash64(col("term")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // scored feeds TWO branches (the per-doc threshold and the candidate
+    // filter) — checkpoint it or each branch re-runs the tokenize scan +
+    // both aggs (the multi-branch rule). Keys-only rows (40 bytes); at
+    // production scale this is the artifact a pipeline would persist.
+    // Makes the entry point EAGER (like the sketch builders).
+    val scored = tf.join(dfreq, Seq("h"))
+      .withColumn("score", expr("tf * 1000000L div df"))
+      .localCheckpoint(true)
+    // k-th highest score per doc: min over any k top rows — tie-choice
+    // among equal scores cannot change the threshold value
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc)
+    val kth = scored.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .groupBy(col("doc_id")).agg(min(col("score")).as("kth"))
+    val cand = scored.join(kth, Seq("doc_id")).filter(col("score") >= col("kth"))
+    val names = toks.select(xxhash64(col("term")).as("h"), col("term"))
+      .join(cand.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .dropDuplicates("h", "term")
+    val perHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val recovered = names
+      .withColumn("n_strings", count(lit(1)).over(perHash))
+      .select(col("h"),
+        when(col("n_strings") > 1,
+          raise_error(concat(lit("xxhash64 collision on term hash "),
+            col("h").cast("string"), lit(" — df was merged"))))
+          .otherwise(col("term")).as("term"))
+    cand.join(recovered, Seq("h"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** documents enriched with all per-row text metrics — single narrow
     * projection over the scan (verify with .explain: one WholeStageCodegen). */
   def enrich(documents: DataFrame): DataFrame =

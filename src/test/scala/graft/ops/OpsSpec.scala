@@ -43,6 +43,25 @@ class OpsSpec extends AnyFunSuite {
       (7L, 7L, 8L, false), (8L, 7L, 8L, true), (9L, 9L, 9L, true)), r)
   }
 
+  test("tf-idf top terms: integer scores, boundary ties included, rare terms win") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date")
+    ).toDF("doc_id", "text")
+    val r = TextOps.topTermsTfIdf(docs, k = 1)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    // df: apple 1, banana 2, cherry 2, date 1
+    // doc1: apple 2e6/1, banana 1e6/2 -> kth(1)=2e6 -> apple only
+    // doc2: banana and cherry both 5e5 -> boundary tie, BOTH survive
+    // doc3: cherry 2*1e6/2 = date 1e6/1 -> both at 1e6
+    assert(r == Set(
+      (1L, "apple", 2L, 1L, 2000000L),
+      (2L, "banana", 1L, 2L, 500000L), (2L, "cherry", 1L, 2L, 500000L),
+      (3L, "cherry", 2L, 2L, 1000000L), (3L, "date", 1L, 1L, 1000000L)), r)
+  }
+
   test("observe metrics ride the action, no second scan") {
     val obs = org.apache.spark.sql.Observation("opsspec_obs")
     val out = java.nio.file.Files.createTempDirectory("obs").toString
