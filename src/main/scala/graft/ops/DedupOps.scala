@@ -526,36 +526,38 @@ object DedupOps {
     * silently returning partial components would disagree with the
     * transitive closure the oracle computes. */
   def dedupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // per-round localCheckpoint, not cache: a cache reuses EXECUTION but
+    // leaves the logical plan growing ~3x per round (labels is referenced
+    // by three branches each iteration) — at component diameter ~10+ the
+    // plan tree alone OOMs the driver before any task runs (caught by
+    // GraphPropertySpec's random graphs; production near-dup clusters are
+    // diameter 1-2, which is why cache survived four rounds). Checkpoint
+    // blocks are reclaimed by the ContextCleaner as each round's frame
+    // becomes unreferenced.
     val und = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = und.select(col("x").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
-    try {
-      var changed = 1L
-      var i = 0
-      while (changed > 0 && i < maxIter) {
-        val nbrMin = und
-          .join(labels.select(col("id").as("y"), col("comp").as("ycomp")), Seq("y"))
-          .groupBy(col("x").as("id")).agg(min(col("ycomp")).as("nbr"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-          .cache()
-        changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-          .filter(col("comp") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        i += 1
-      }
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"dedupComponents did not converge in $maxIter rounds " +
-            s"($changed labels still changing) — component diameter exceeds the bound; raise maxIter")
-      labels.localCheckpoint(true)
-    } finally {
-      und.unpersist()
-      labels.unpersist()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("y"), col("comp").as("ycomp")), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min(col("ycomp")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds the bound; raise maxIter")
+    labels
   }
 
   /** Survivor selection — the step that turns near-dup CLUSTERS into a
