@@ -37,7 +37,8 @@ object PlanAudit {
       "q_dedup_lines", "q_decontaminate", "q_kg_compact",
       "q_pii_scrub", "q_doc_repetition", "q_pack_shards", "q_sample_stratified",
       "q_host_quota", "q_doc_chunks",
-      "q_dedup_survivors", "q_kg_hubs", "q_kg_cooccur", "q_tfidf_topterms")
+      "q_dedup_survivors", "q_kg_hubs", "q_kg_cooccur", "q_tfidf_topterms",
+      "q_kg_twohop", "q_kg_delta")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

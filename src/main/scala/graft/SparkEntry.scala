@@ -389,6 +389,29 @@ object SparkEntry {
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
         .orderBy(col("n_subjects").desc, col("e1"), col("e2"))
         .limit(100)),
+    // two-hop reachability counts (degree-capped hop composition);
+    // oracle = same edges/cap/compose/distinct/count in plain SQL
+    "q_kg_twohop" -> ((s, dir) =>
+      GraphMaterialize.twoHopCounts(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("n_reach").desc, col("src"))
+        .limit(100)),
+    // crawl-snapshot delta: snapshot B is derived from A by a
+    // deterministic length-based perturbation (drop literals whose value
+    // length % 7 = 0; re-observe literals whose subject length % 5 = 0
+    // with a " v2" suffix) that both engines can construct independently;
+    // the delta must be exactly the planted adds/removes (EXCEPT set
+    // semantics on both sides — null-safe on objDatatype/objLang)
+    "q_kg_delta" -> ((s, dir) => {
+      val a = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+      val b = a.filter(!(col("objKind") === 2 && length(col("objValue")) % 7 === 0))
+        .unionByName(
+          a.filter(col("objKind") === 2 && length(col("subj")) % 5 === 0)
+            .withColumn("objValue", concat(col("objValue"), lit(" v2"))))
+      GraphMaterialize.snapshotDelta(a, b)
+        .orderBy(col("change"), col("subj"), col("pred"), col("objKind"),
+          col("objValue"), col("objDatatype"), col("objLang"), col("graph"))
+    }),
     "q_kg_entitylink" -> ((s, dir) => {
       import s.implicits._
       val triples = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples").as[Triple]
@@ -903,6 +926,37 @@ object SparkEntry {
         |FROM kept l JOIN kept r ON l.subj = r.subj AND l.ent < r.ent
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY n_subjects DESC, e1, e2 LIMIT 100""".stripMargin,
+    "q_kg_twohop" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT subj AS src, objValue AS dst
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE objKind = 0 AND subj <> objValue),
+        |okmid AS (SELECT src FROM edges GROUP BY src HAVING count(*) <= 64),
+        |second AS (SELECT e.src, e.dst FROM edges e JOIN okmid USING (src)),
+        |reach AS (
+        |  SELECT src, dst AS nbr FROM edges
+        |  UNION
+        |  SELECT a.src, b.dst AS nbr FROM edges a JOIN second b ON a.dst = b.src)
+        |SELECT src, count(*) AS n_reach
+        |FROM reach WHERE src <> nbr
+        |GROUP BY src ORDER BY n_reach DESC, src LIMIT 100""".stripMargin,
+    "q_kg_delta" ->
+      """WITH a AS (
+        |  SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |b AS (
+        |  SELECT * FROM a WHERE NOT (objKind = 2 AND length(objValue) % 7 = 0)
+        |  UNION ALL
+        |  SELECT subj, pred, objKind, objValue || ' v2' AS objValue,
+        |    objDatatype, objLang, graph
+        |  FROM a WHERE objKind = 2 AND length(subj) % 5 = 0),
+        |delta AS (
+        |  SELECT *, 'added' AS change FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        |  UNION ALL
+        |  SELECT *, 'removed' AS change FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |SELECT * FROM delta
+        |ORDER BY change, subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
     "q_kg_entitylink" ->
       """SELECT coalesce(entity, '(unlinked)') AS entity, count(*) AS n_mentions
         |FROM (

@@ -376,6 +376,65 @@ object GraphMaterialize {
       .filter(col("n_subjects") >= minSubjects)
   }
 
+  /** Two-hop reachability counts: for each node, the number of DISTINCT
+    * nodes reachable in one or two directed hops (self excluded) — the
+    * neighborhood-size signal used for entity-importance ranking and
+    * for sizing per-entity context windows.
+    *
+    * Scale shape: the quadratic step is the hop-composition join, which
+    * explodes on high-fan-out INTERMEDIATE nodes (a hub with 10^5
+    * out-edges multiplies every in-edge), so intermediates are
+    * degree-capped first — a keys-only out-degree count; edges whose src
+    * exceeds the cap simply don't extend paths (documented exclusion,
+    * SQL-re-derivable — same rationale as [[entityCoOccurrence]]). The
+    * edge frame feeds three branches (first hop, second hop, degree
+    * count), so it is checkpointed once. All exchanges carry node-id
+    * pairs; the final distinct+count is one hash agg. */
+  def twoHopCounts(triples: DataFrame, maxDegree: Int = 64): DataFrame = {
+    val edges = triples
+      .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
+      .select(col("subj").as("src"), col("objValue").as("dst"))
+      .distinct().localCheckpoint(true)
+    val okMid = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree).select(col("src"))
+    val second = edges.join(okMid, Seq("src"))
+    val twoHop = edges.as("a")
+      .join(second.as("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("nbr"))
+    edges.select(col("src"), col("dst").as("nbr"))
+      .unionByName(twoHop)
+      .filter(col("src") =!= col("nbr"))
+      .distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("n_reach"))
+  }
+
+  /** Crawl-snapshot delta: the triples ADDED and REMOVED between two
+    * materializations of the graph (re-crawl maintenance — downstream
+    * consumers refresh from the delta instead of re-reading the world).
+    * Output: full triple rows plus `change` ∈ {added, removed}.
+    *
+    * Scale shape: two set differences over the full logical row —
+    * `except`, not a hand-rolled anti-join, because objDatatype/objLang
+    * are nullable and a plain join key drops every null-carrying row
+    * (NULL never equals NULL in join conditions); `except` compares
+    * null-safely and matches SQL EXCEPT's set semantics exactly. The
+    * exchanged rows ARE the output rows (you cannot emit a row you did
+    * not move), so there is nothing to slim below this; at production
+    * scale both snapshots are bucketed by subj and the anti-join under
+    * `except` co-locates without a shuffle. No key-hash shortcut: an
+    * 8-byte-hash membership test would silently drop a genuinely-changed
+    * row on collision — unacceptable for a correctness-bearing delta
+    * (unlike candidate GENERATION, where a collision only adds a
+    * candidate that exact verification removes). */
+  def snapshotDelta(before: DataFrame, after: DataFrame): DataFrame = {
+    val cols = Seq("subj", "pred", "objKind", "objValue",
+      "objDatatype", "objLang", "graph").map(col)
+    val a = after.select(cols: _*)
+    val b = before.select(cols: _*)
+    a.except(b).withColumn("change", lit("added"))
+      .unionByName(b.except(a).withColumn("change", lit("removed")))
+  }
+
   /** Deliberately LARGE dictionary for the cold-tail path: the hub head
     * plus `perKind`×5 generated tail entries whose surfaces align with the
     * corpus' actual name literals ("Product N", "Org N", "Person N",

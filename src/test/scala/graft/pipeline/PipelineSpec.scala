@@ -453,6 +453,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map("a" -> 1722500000L, "b" -> 1127500000L, "c" -> 150000000L), r)
   }
 
+  test("two-hop counts: hop composition, self excluded, hub intermediates capped") {
+    import spark.implicits._
+    // a -> b -> c -> a (3-cycle), plus hub with 3 out-edges (over cap 2):
+    // paths THROUGH hub are cut, but edges INTO and FROM hub still count as hops
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "hub"))
+    val hubOut = Seq(("hub", "x"), ("hub", "y"), ("hub", "z"))
+    val triples = (base ++ hubOut).map { case (s, o) => (s, "p", 0.toByte, o) }
+      .toDF("subj", "pred", "objKind", "objValue")
+    val r = GraphMaterialize.twoHopCounts(triples, maxDegree = 2)
+      .as[(String, Long)].collect().toMap
+    // a: 1-hop {b, hub}, 2-hop via b {c}; via hub: CUT (hub out-degree 3 > 2) -> 3
+    // b: {c} + via c {a} -> 2 ; c: {a} + via a {b, hub} -> 3
+    // hub: {x,y,z} -> 3 (its own out-edges are 1-hops, the cap only cuts it as an INTERMEDIATE)
+    assert(r == Map("a" -> 3L, "b" -> 2L, "c" -> 3L, "hub" -> 3L), r)
+  }
+
+  test("snapshot delta: planted adds/removes, null-safe on datatype/lang") {
+    import spark.implicits._
+    val mk = (s: String, o: String, dt: String) =>
+      (s, "p", 2.toByte, o, Option(dt).orNull, null: String, "@default")
+    val a = Seq(mk("s1", "kept", null), mk("s2", "dropped", null),
+      mk("s3", "typed", "http://t")).toDF(
+      "subj", "pred", "objKind", "objValue", "objDatatype", "objLang", "graph")
+    val b = Seq(mk("s1", "kept", null), mk("s3", "typed", "http://t"),
+      mk("s4", "new", null)).toDF(
+      "subj", "pred", "objKind", "objValue", "objDatatype", "objLang", "graph")
+    val r = GraphMaterialize.snapshotDelta(a, b)
+      .select("subj", "objValue", "change")
+      .as[(String, String, String)].collect().toSet
+    // rows with null objDatatype/objLang on BOTH sides must NOT be reported
+    // as changed (the plain-anti-join null trap)
+    assert(r == Set(("s2", "dropped", "removed"), ("s4", "new", "added")), r)
+  }
+
   test("entity co-occurrence: degree cap excludes hub subjects, minSubjects filters noise") {
     import spark.implicits._
     val base = Seq(
