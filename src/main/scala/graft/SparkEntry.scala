@@ -37,7 +37,7 @@ object SparkEntry {
     * which also makes the oracle trivially auditable). `//` and Spark's
     * `div` both truncate on the non-negative operands used here, and
     * every sum is integral, so the two engines agree exactly. */
-  private def hubOracleSql: String = {
+  private def hubCtes: String = {
     val steps = (1 to HubIterations).map { i =>
       s"""pr$i AS (
          |  SELECT nd.node,
@@ -55,10 +55,32 @@ object SparkEntry {
        |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
        |pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM nodes),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def hubOracleSql: String =
+    s"""$hubCtes
        |SELECT node, score FROM pr$HubIterations
        |ORDER BY score DESC, node LIMIT 100""".stripMargin
-  }
+
+  private def mentionPredsSqlList: String =
+    graft.pipeline.GraphMaterialize.MentionPreds.map(p => s"'$p'").mkString(", ")
+
+  private def hubDictOracleSql: String =
+    s"""$hubCtes,
+       |top AS (
+       |  SELECT node, score FROM pr$HubIterations
+       |  ORDER BY score DESC, node LIMIT 32),
+       |names AS (
+       |  SELECT DISTINCT subj AS node, lower(objValue) AS surface
+       |  FROM read_parquet('{AUX}/triples/*.parquet')
+       |  WHERE objKind = 2 AND pred IN ($mentionPredsSqlList)),
+       |ranked AS (
+       |  SELECT n.surface, t.node AS entity, t.score, row_number() OVER (
+       |    PARTITION BY n.surface ORDER BY t.score DESC, t.node DESC) AS rn
+       |  FROM top t JOIN names n USING (node))
+       |SELECT surface, entity, score FROM ranked WHERE rn = 1
+       |ORDER BY surface""".stripMargin
 
   /** Flagship: full KG-construction spine on a synthetic page table —
     * extract → expand → toRDF → dedup → triples. */
@@ -389,6 +411,14 @@ object SparkEntry {
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
         .orderBy(col("n_subjects").desc, col("e1"), col("e2"))
         .limit(100)),
+    // the hub dictionary DERIVED from the graph (top-32 by hub score,
+    // labeled with their corpus surface forms) — the data-driven
+    // replacement for the hand-seeded hot-head dictionary
+    "q_kg_hubdict" -> ((s, dir) =>
+      GraphMaterialize.derivedHubDictionary(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        topN = 32, iterations = HubIterations)
+        .orderBy(col("surface"))),
     // two-hop reachability counts (degree-capped hop composition);
     // oracle = same edges/cap/compose/distinct/count in plain SQL
     "q_kg_twohop" -> ((s, dir) =>
@@ -914,6 +944,7 @@ object SparkEntry {
         |FROM read_parquet('{AUX}/triples/*.parquet')
         |GROUP BY subj ORDER BY degree DESC, subj LIMIT 100""".stripMargin,
     "q_kg_hubs" -> hubOracleSql,
+    "q_kg_hubdict" -> hubDictOracleSql,
     "q_kg_cooccur" ->
       """WITH po AS (
         |  SELECT DISTINCT subj, objValue AS ent

@@ -49,12 +49,14 @@ object GraphMaterialize {
 
   /** Mention detection: literal objects that look like entity surface
     * forms (names) → (surface, subj, pred). */
+  /** Predicates whose literal objects are entity surface forms. */
+  val MentionPreds: Seq[String] = Seq(
+    "http://schema.org/name", "http://xmlns.com/foaf/0.1/name",
+    "http://schema.org/brand", "http://purl.org/dc/elements/1.1/title")
+
   def mentions(triples: Dataset[Triple]): DataFrame =
     triples
-      .filter(col("objKind") === 2 &&
-        col("pred").isin(
-          "http://schema.org/name", "http://xmlns.com/foaf/0.1/name",
-          "http://schema.org/brand", "http://purl.org/dc/elements/1.1/title"))
+      .filter(col("objKind") === 2 && col("pred").isin(MentionPreds: _*))
       .select(lower(col("objValue")).as("surface"), col("subj"), col("pred"))
 
   /** Entity linking against a BROADCASTABLE dictionary (surface ->
@@ -374,6 +376,34 @@ object GraphMaterialize {
       .select(col("l.ent").as("e1"), col("r.ent").as("e2"))
       .groupBy(col("e1"), col("e2")).agg(count(lit(1)).as("n_subjects"))
       .filter(col("n_subjects") >= minSubjects)
+  }
+
+  /** Hub dictionary DERIVED from the graph itself: the top-N entities by
+    * [[hubScores]], labeled with the surface forms the corpus actually
+    * uses for them (their [[MentionPreds]] name literals) — the
+    * production answer to `hubDictionary`'s hand-seeded list (the hot
+    * head a crawl-scale pipeline broadcasts in [[linkEntitiesScalable]]
+    * must come FROM the data, and this is where it comes from). When two
+    * top entities share a lowercased surface, the higher-scored one owns
+    * it (ties to the greater IRI — an order-independent max(struct),
+    * never a window over an unordered tie).
+    *
+    * Scale shape: scores are the checkpointed fixed-point output; top-N
+    * is a TakeOrdered (no global sort materialization); the name join
+    * touches only name-literal triples filtered at the scan, against N
+    * rows — broadcastable by construction. Eager (via hubScores). */
+  def derivedHubDictionary(triples: DataFrame, topN: Int = 32,
+      iterations: Int = 6): DataFrame = {
+    val top = hubScores(triples, iterations)
+      .orderBy(col("score").desc, col("node")).limit(topN)
+    val names = triples
+      .filter(col("objKind") === 2 && col("pred").isin(MentionPreds: _*))
+      .select(col("subj").as("node"), lower(col("objValue")).as("surface"))
+      .distinct()
+    top.join(names, Seq("node"))
+      .groupBy(col("surface"))
+      .agg(max(struct(col("score").as("sc"), col("node").as("e"))).as("m"))
+      .select(col("surface"), col("m.e").as("entity"), col("m.sc").as("score"))
   }
 
   /** Two-hop reachability counts: for each node, the number of DISTINCT

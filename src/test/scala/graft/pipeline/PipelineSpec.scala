@@ -453,6 +453,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map("a" -> 1722500000L, "b" -> 1127500000L, "c" -> 150000000L), r)
   }
 
+  test("derived hub dictionary: top-scored entities own their surfaces, shared surface goes to the higher score") {
+    import spark.implicits._
+    val name = "http://schema.org/name"
+    // b is the hub (two in-edges); both b and c claim surface "acme" —
+    // b's higher score must win it; a has its own surface
+    val triples = Seq(
+      ("a", "p", 0.toByte, "b"), ("c", "p", 0.toByte, "b"),
+      ("b", name, 2.toByte, "Acme"), ("c", name, 2.toByte, "acme"),
+      ("a", name, 2.toByte, "Alpha Co")
+    ).toDF("subj", "pred", "objKind", "objValue")
+    val r = GraphMaterialize.derivedHubDictionary(triples, topN = 3, iterations = 2)
+      .select("surface", "entity").as[(String, String)].collect().toMap
+    assert(r("acme") == "b", r)
+    assert(r("alpha co") == "a", r)
+  }
+
   test("two-hop counts: hop composition, self excluded, hub intermediates capped") {
     import spark.implicits._
     // a -> b -> c -> a (3-cycle), plus hub with 3 out-edges (over cap 2):
