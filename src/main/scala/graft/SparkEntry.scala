@@ -292,6 +292,15 @@ object SparkEntry {
         t(s, dir, "documents"),
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/neardup_pairs"))
         .orderBy(col("doc_id"))),
+    // the composed curation VERDICT: one keep/drop per doc folding
+    // quality + langid + repetition + PII + the near-dup survivor
+    // verdict, first failing rule as the audit reason; the oracle
+    // recomposes every signal from its proven standalone fragment
+    "q_curation_verdict" -> ((s, dir) =>
+      CurationOps.curationVerdict(
+        t(s, dir, "documents"),
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/neardup_pairs"))
+        .orderBy(col("doc_id"))),
     // append-mode dedup: the corpus split by doc_id parity into an
     // "existing" half whose sketches + pairs are PERSISTED aux artifacts
     // (the state an hourly append job owns — built once, extended per
@@ -814,6 +823,70 @@ object SparkEntry {
         |SELECT l.doc_id, l.comp, s.survivor, l.doc_id = s.survivor AS keep
         |FROM labeled l JOIN surv s USING (comp)
         |ORDER BY l.doc_id""".stripMargin,
+    "q_curation_verdict" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT a AS x, b AS y FROM read_parquet('{AUX}/neardup_pairs/*.parquet')
+         |  UNION SELECT b, a FROM read_parquet('{AUX}/neardup_pairs/*.parquet')),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |comp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+         |labeled AS (
+         |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |rankedsv AS (
+         |  SELECT doc_id, comp, row_number() OVER (
+         |    PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM labeled),
+         |surv AS (SELECT comp, doc_id AS survivor FROM rankedsv WHERE rn = 1),
+         |dedup AS (
+         |  SELECT l.doc_id, (l.doc_id = s.survivor) AS dedup_keep
+         |  FROM labeled l JOIN surv s USING (comp)),
+         |base AS (
+         |  SELECT doc_id, text,
+         |    string_split(text, chr(10)) AS ln,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w,
+         |    len(regexp_split_to_array(text, '(?i)\\b(the|and|of|to|is)\\b')) - 1 AS en,
+         |    len(regexp_split_to_array(text, '(?i)\\b(der|die|und|ist|nicht)\\b')) - 1 AS de,
+         |    len(regexp_split_to_array(text, '(?i)\\b(le|la|et|est|les)\\b')) - 1 AS fr,
+         |    len(regexp_split_to_array(text, '(?i)\\b(el|los|es|una|que)\\b')) - 1 AS es
+         |  FROM documents),
+         |wc AS (SELECT doc_id, max(c) AS topw FROM (
+         |    SELECT doc_id, word, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(w) AS word FROM base)
+         |    GROUP BY doc_id, word)
+         |  GROUP BY doc_id),
+         |sig AS (
+         |  SELECT b.doc_id,
+         |    round((least(length(b.text) / 500.0, 1.0)
+         |      + (1.0 - least(length(regexp_replace(b.text, '[^.,;:!?]', '', 'g')) * 10.0 / greatest(length(b.text), 1.0), 1.0))
+         |      + least(length(b.text) - length(replace(b.text, ' ', '')), 50) / 50.0
+         |    ) / 3.0, 6) AS quality,
+         |    CASE WHEN de >= greatest(en, fr, es) AND de > 0 THEN 'de'
+         |         WHEN fr >= greatest(en, es) AND fr > 0 THEN 'fr'
+         |         WHEN es >= en AND es > 0 THEN 'es'
+         |         WHEN en > 0 THEN 'en' ELSE 'unknown' END AS lang_pred,
+         |    round((len(b.ln) - len(list_distinct(b.ln)))::DOUBLE
+         |      / greatest(len(b.ln), 1), 4) AS dup_line_frac,
+         |    round(coalesce(wc.topw, 0)::DOUBLE / greatest(len(b.w), 1), 4) AS top_word_frac,
+         |    CAST(len(regexp_extract_all(b.text, '${CurationOps.EmailRe}'))
+         |      + len(regexp_extract_all(b.text, '${CurationOps.Ipv4Re}'))
+         |      + len(regexp_extract_all(b.text, '${CurationOps.PhoneRe}')) AS INTEGER) AS n_pii
+         |  FROM base b LEFT JOIN wc USING (doc_id)),
+         |v AS (
+         |  SELECT s.doc_id, s.quality, s.lang_pred, s.dup_line_frac,
+         |    s.top_word_frac, s.n_pii, d.dedup_keep,
+         |    CASE WHEN NOT d.dedup_keep THEN 'duplicate'
+         |         WHEN s.quality < ${CurationOps.DefaultMinQuality} THEN 'low_quality'
+         |         WHEN s.lang_pred = 'unknown' THEN 'no_lang'
+         |         WHEN s.dup_line_frac > ${CurationOps.DefaultMaxDupLineFrac} THEN 'repetitive_lines'
+         |         WHEN s.top_word_frac > ${CurationOps.DefaultMaxTopWordFrac} THEN 'repetitive_words'
+         |         WHEN s.n_pii > ${CurationOps.DefaultMaxPii} THEN 'pii'
+         |         ELSE 'keep' END AS reason
+         |  FROM sig s JOIN dedup d USING (doc_id))
+         |SELECT doc_id, quality, lang_pred, dup_line_frac, top_word_frac,
+         |  n_pii, dedup_keep, reason, (reason = 'keep') AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
     "q_ann_topk" ->
       s"""SELECT vec_id, label FROM embeddings
          |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annQuerySqlLiteral) DESC, vec_id

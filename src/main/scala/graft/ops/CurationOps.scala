@@ -346,4 +346,57 @@ object CurationOps {
           greatest(col("n_ngrams"), lit(1)).cast("double"), 4).as("overlap_frac"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** The composed curation VERDICT — the decision table a training-data
+    * pipeline actually filters on, folding the per-row signals (quality,
+    * language ID, line/word repetition, PII density) and the corpus-level
+    * near-dup survivor verdict into one keep/drop per document, with the
+    * FIRST failing rule as the audit reason (rule order is part of the
+    * contract: duplicate → low_quality → no_lang → repetitive_lines →
+    * repetitive_words → pii).
+    *
+    * Float-parity discipline: every fractional signal is compared at its
+    * ROUNDED precision (the same rounding its standalone oracle checks),
+    * so a threshold can never split on bits the oracle doesn't see.
+    *
+    * Scale shape: all per-row signals come from ONE narrow projection
+    * over the text scan (no per-signal join); the only exchange is the
+    * keys-only join against the survivor verdict — which at production
+    * scale is the already-persisted dedup output, joined by doc_id. */
+  val DefaultMinQuality = 0.30
+  val DefaultMaxDupLineFrac = 0.5
+  val DefaultMaxTopWordFrac = 0.5
+  val DefaultMaxPii = 10
+
+  def curationVerdict(documents: DataFrame, pairs: DataFrame,
+      minQuality: Double = DefaultMinQuality,
+      maxDupLineFrac: Double = DefaultMaxDupLineFrac,
+      maxTopWordFrac: Double = DefaultMaxTopWordFrac,
+      maxPii: Int = DefaultMaxPii): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    val signals = documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      graft.ops.TextOps.qualityScore(col("text")).as("quality"),
+      graft.ops.TextOps.langId(col("text")).as("lang_pred"),
+      round((size(lines) - size(array_distinct(lines))) /
+        greatest(size(lines), lit(1)).cast("double"), 4).as("dup_line_frac"),
+      round(maxMultiplicity(words) /
+        greatest(size(words), lit(1)).cast("double"), 4).as("top_word_frac"),
+      (size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))).as("n_pii"))
+    val dedup = DedupOps.dedupSurvivors(documents, pairs)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))
+    signals.join(dedup, Seq("doc_id"))
+      .withColumn("reason",
+        when(!col("dedup_keep"), "duplicate")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("lang_pred") === "unknown", "no_lang")
+          .when(col("dup_line_frac") > maxDupLineFrac, "repetitive_lines")
+          .when(col("top_word_frac") > maxTopWordFrac, "repetitive_words")
+          .when(col("n_pii") > maxPii, "pii")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+  }
 }

@@ -291,4 +291,27 @@ class CurationSpec extends AnyFunSuite {
     assert(MultimodalOps.parseHeader(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)) == ((0, 0, 0)))
     assert(MultimodalOps.parseHeader(Array.emptyByteArray) == ((0, 0, 0)))
   }
+
+  test("curationVerdict: first failing rule wins, clean doc keeps") {
+    import spark.implicits._
+    val good = Seq.fill(10)("the cat and the dog of the house is big to see").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                    // keep
+      (2L, good.take(200)),                          // near-dup of 1, less content -> duplicate
+      (3L, "zzz qqq yyy"),                           // passes quality, no stopwords -> no_lang
+      (4L, Seq.fill(100)("the").mkString(" ")),      // top_word_frac 1.0 -> repetitive_words
+      (5L, "...,,,;;;!!!???")                        // all punctuation -> low_quality
+    ).map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val r = CurationOps.curationVerdict(docs, pairs)
+      .select("doc_id", "reason", "keep")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (id, re, k) => id -> ((re, k)) }.toMap
+    assert(r(1L) == (("keep", true)), r)
+    assert(r(2L) == (("duplicate", false)), r)
+    assert(r(3L) == (("no_lang", false)), r)
+    assert(r(4L) == (("repetitive_words", false)), r)
+    assert(r(5L) == (("low_quality", false)), r)
+  }
 }
