@@ -38,7 +38,8 @@ object PlanAudit {
       "q_pii_scrub", "q_doc_repetition", "q_pack_shards", "q_sample_stratified",
       "q_host_quota", "q_doc_chunks",
       "q_dedup_survivors", "q_kg_hubs", "q_kg_cooccur", "q_tfidf_topterms",
-      "q_kg_twohop", "q_kg_delta", "q_kg_hubdict", "q_curation_verdict")
+      "q_kg_twohop", "q_kg_delta", "q_kg_hubdict", "q_curation_verdict",
+      "q_kg_bgp", "q_kg_closure", "q_kg_validate")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -656,7 +656,44 @@ object SparkEntry {
         .drop("subj_bucket")
         .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
           col("objDatatype").asc_nulls_first, col("objLang").asc_nulls_first,
-          col("graph")))
+          col("graph"))),
+    // SPARQL-style basic-graph-pattern query over the materialized graph:
+    // event -> location hub -> parent org, plus the hub's literal name —
+    // a chain + star of 4 patterns compiled to selectivity-ordered joins;
+    // oracle = the same conjunctive query as DuckDB self-joins
+    "q_kg_bgp" -> ((s, dir) => {
+      import GraphQuery._
+      matchBgp(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        Seq(
+          TriplePattern(V("e"), C(GraphValidate.RdfType), C("http://schema.org/Event")),
+          TriplePattern(V("e"), C("http://schema.org/location"), V("hub")),
+          TriplePattern(V("hub"), C("http://schema.org/parentOrganization"), V("parent")),
+          TriplePattern(V("hub"), C("http://schema.org/name"), V("hubname"), kind = Some(2))))
+        .orderBy(col("e"), col("hub"), col("parent"), col("hubname"))
+    }),
+    // bounded transitive closure with predicate alternation — SPARQL
+    // `(knows|parentOrganization)+` to depth 4, min-depth semantics:
+    // people reach hubs via knows, then walk the hub parent cycle, so
+    // every BFS level is genuinely populated; oracle = depth-bounded
+    // recursive CTE + MIN over the same alternation edge set
+    "q_kg_closure" -> ((s, dir) =>
+      GraphQuery.pathClosure(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        preds = Seq("http://xmlns.com/foaf/0.1/knows",
+          "http://schema.org/parentOrganization"),
+        maxDepth = 4, maxDegree = 1024)
+        .withColumn("depth", col("depth").cast("long"))
+        .orderBy(col("src"), col("dst"))),
+    // SHACL-lite shape validation: cardinality / nodeKind / datatype
+    // constraints over the typed corpus entities (a mix of satisfied and
+    // naturally-violated shapes — see GraphValidate.CorpusShapes); oracle
+    // = the same shapes as an inline VALUES table + left-join/HAVING
+    "q_kg_validate" -> ((s, dir) =>
+      GraphValidate.validate(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        GraphValidate.CorpusShapes)
+        .orderBy(col("focus"), col("cls"), col("pred"), col("code")))
   )
 
   /** DuckDB-equivalent SQL per oracle-able query; column names must match
@@ -1425,7 +1462,80 @@ object SparkEntry {
       """SELECT DISTINCT subj, pred, objKind, objValue, objDatatype, objLang, graph
         |FROM read_parquet('{AUX}/triples_dup/*.parquet')
         |ORDER BY subj, pred, objKind, objValue,
-        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
+    "q_kg_bgp" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objKind, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet'))
+        |SELECT t1.subj AS e, t2.objValue AS hub, t3.objValue AS parent,
+        |  t4.objValue AS hubname
+        |FROM tr t1
+        |JOIN tr t2 ON t2.subj = t1.subj
+        |  AND t2.pred = 'http://schema.org/location'
+        |JOIN tr t3 ON t3.subj = t2.objValue
+        |  AND t3.pred = 'http://schema.org/parentOrganization'
+        |JOIN tr t4 ON t4.subj = t2.objValue
+        |  AND t4.pred = 'http://schema.org/name' AND t4.objKind = 2
+        |WHERE t1.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |  AND t1.objValue = 'http://schema.org/Event'
+        |ORDER BY e, hub, parent, hubname""".stripMargin,
+    "q_kg_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT subj AS src, objValue AS dst
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE pred IN ('http://xmlns.com/foaf/0.1/knows',
+        |                 'http://schema.org/parentOrganization')
+        |    AND objKind = 0 AND subj <> objValue),
+        |ok AS (SELECT src FROM edges GROUP BY src HAVING count(*) <= 1024),
+        |ext AS (SELECT e.src, e.dst FROM edges e JOIN ok USING (src)),
+        |r AS (
+        |  SELECT src, dst, 1 AS depth FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst, r.depth + 1
+        |  FROM r JOIN ext e ON r.dst = e.src WHERE r.depth < 4)
+        |SELECT src, dst, CAST(MIN(depth) AS BIGINT) AS depth
+        |FROM r GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+    "q_kg_validate" ->
+      """WITH shapes(cls, spred, min_count, max_count, node_kind, dtype) AS (
+        |  VALUES
+        |  ('http://schema.org/Product', 'http://schema.org/name',
+        |   1, 1, 2, 'http://www.w3.org/2001/XMLSchema#string'),
+        |  ('http://schema.org/Product', 'http://schema.org/ratingValue',
+        |   1, 2147483647, NULL, 'http://www.w3.org/2001/XMLSchema#integer'),
+        |  ('http://schema.org/Event', 'http://schema.org/endDate',
+        |   1, 2147483647, NULL, NULL),
+        |  ('http://schema.org/Event', 'http://schema.org/location',
+        |   1, 2147483647, 0, NULL),
+        |  ('http://schema.org/Organization', 'http://schema.org/member',
+        |   0, 1, 0, NULL)),
+        |tr AS (
+        |  SELECT subj, pred, objKind, objDatatype, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |targets AS (
+        |  SELECT DISTINCT subj AS focus, objValue AS cls FROM tr
+        |  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |    AND objKind = 0),
+        |tg AS (SELECT g.focus, s.* FROM targets g JOIN shapes s USING (cls)),
+        |ev AS (
+        |  SELECT tg.focus, tg.cls, tg.spred AS pred,
+        |    tg.min_count, tg.max_count,
+        |    count(p.subj) AS cnt,
+        |    coalesce(sum(CASE WHEN tg.node_kind IS NOT NULL
+        |      AND p.objKind <> tg.node_kind THEN 1 ELSE 0 END), 0) AS bad_kind,
+        |    coalesce(sum(CASE WHEN tg.dtype IS NOT NULL AND p.objKind IS NOT NULL
+        |      AND (p.objDatatype IS NULL OR p.objDatatype <> tg.dtype)
+        |      THEN 1 ELSE 0 END), 0) AS bad_dtype
+        |  FROM tg LEFT JOIN tr p ON p.subj = tg.focus AND p.pred = tg.spred
+        |  GROUP BY ALL)
+        |SELECT focus, cls, pred, code FROM (
+        |  SELECT focus, cls, pred, 'minCount' AS code FROM ev WHERE cnt < min_count
+        |  UNION ALL
+        |  SELECT focus, cls, pred, 'maxCount' FROM ev WHERE cnt > max_count
+        |  UNION ALL
+        |  SELECT focus, cls, pred, 'nodeKind' FROM ev WHERE bad_kind > 0
+        |  UNION ALL
+        |  SELECT focus, cls, pred, 'datatype' FROM ev WHERE bad_dtype > 0)
+        |ORDER BY focus, cls, pred, code""".stripMargin
   )
 
   /** Inlined (band, key) probe list for the ANN oracle — a deterministic

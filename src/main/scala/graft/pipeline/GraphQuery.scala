@@ -1,0 +1,206 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Conjunctive graph-pattern queries over the materialized triples table
+  * — the read-side counterpart of the KG-construction spine. Two entry
+  * points:
+  *
+  *  - [[matchBgp]]: SPARQL-style basic-graph-pattern matching (a set of
+  *    triple patterns with shared variables) compiled to a
+  *    selectivity-ordered chain of DataFrame equi-joins;
+  *  - [[pathClosure]]: bounded transitive closure of one predicate
+  *    (SPARQL `p+` property paths up to a depth limit) as a BFS with
+  *    per-level checkpoints and min-depth semantics.
+  *
+  * The reference engine has no query surface (json-ld.net stops at
+  * toRDF/normalize — SURVEY.md §2.4); these are the operations a consumer
+  * of the constructed graph runs, and both are plain ANSI-SQL-expressible
+  * (self-joins / a bounded recursive CTE), so the driver's DuckDB oracle
+  * gates them like every other distributed operator.
+  */
+object GraphQuery {
+
+  /** A term of a triple pattern: either a constant (IRI or literal
+    * lexical form, compared against subj/pred/objValue) or a named
+    * variable producing an output column. */
+  sealed trait Term
+  final case class C(value: String) extends Term
+  final case class V(name: String) extends Term
+
+  /** One triple pattern. `kind`, when set, additionally constrains the
+    * object's objKind (0 = IRI, 1 = bnode, 2 = literal) — needed when a
+    * variable in object position must range over entities only. */
+  final case class TriplePattern(s: Term, p: Term, o: Term,
+      kind: Option[Int] = None)
+
+  /** Match a basic graph pattern against the triples table; returns one
+    * row per solution with a column per variable (first-mention order).
+    *
+    * Plan shape (the part that matters at 100 TB):
+    *
+    *  - each pattern becomes an independent SCAN of the triples table
+    *    with its constant positions as pushed-down filters — at
+    *    production scale the table is partitioned by `pred`, so a
+    *    constant-predicate pattern (the overwhelmingly common case)
+    *    prunes to one partition's files and never reads the rest;
+    *  - patterns are joined GREEDILY by selectivity: start from the most
+    *    constant-bound pattern, then repeatedly attach the pattern
+    *    sharing the most already-bound variables (never zero unless the
+    *    BGP is genuinely disconnected — a deliberate cross join then,
+    *    loudly documented here rather than silently produced);
+    *  - joins carry only the variable columns (constants are filtered
+    *    out at the scan, never shuffled), so every exchange is a narrow
+    *    projection of bound values;
+    *  - no static broadcast hints: pattern cardinalities are
+    *    data-dependent (`?s rdf:type :Event` can be 10^9 rows at crawl
+    *    scale), so the build-side choice is left to AQE, which converts
+    *    a shuffle join to broadcast at runtime when the measured side is
+    *    small. Star groups (patterns sharing their subject variable)
+    *    end up adjacent under the greedy order, so AQE reuses the
+    *    subject-hash exchange across the whole star.
+    *
+    * Semantics: bag (no implicit distinct), like SPARQL BGP under
+    * duplicate-free RDF input — the triples table is deduplicated by the
+    * pipeline, so solutions are exactly the SQL self-join rows. A
+    * variable repeated WITHIN one pattern (e.g. `?x :p ?x`) constrains
+    * equality at the scan.
+    */
+  def matchBgp(triples: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+
+    def vars(p: TriplePattern): Seq[String] =
+      Seq(p.s, p.p, p.o).collect { case V(n) => n }
+
+    // scan for one pattern: constant filters + variable projection
+    def scan(p: TriplePattern): DataFrame = {
+      var df = triples
+      p.s match { case C(v) => df = df.filter(col("subj") === v); case _ => }
+      p.p match { case C(v) => df = df.filter(col("pred") === v); case _ => }
+      p.o match { case C(v) => df = df.filter(col("objValue") === v); case _ => }
+      p.kind.foreach(k => df = df.filter(col("objKind") === k))
+      // repeated variable within the pattern => positional equality
+      (p.s, p.p) match {
+        case (V(a), V(b)) if a == b => df = df.filter(col("subj") === col("pred"))
+        case _ =>
+      }
+      (p.s, p.o) match {
+        case (V(a), V(b)) if a == b => df = df.filter(col("subj") === col("objValue"))
+        case _ =>
+      }
+      (p.p, p.o) match {
+        case (V(a), V(b)) if a == b => df = df.filter(col("pred") === col("objValue"))
+        case _ =>
+      }
+      val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+      Seq(p.s -> "subj", p.p -> "pred", p.o -> "objValue").foreach {
+        case (V(n), c) => if (!seen.contains(n)) seen(n) = c
+        case _ =>
+      }
+      df.select(seen.toSeq.map { case (n, c) => col(c).as(n) }: _*)
+    }
+
+    // selectivity rank: more constants first; constant predicate breaks
+    // ties (it is the partition-pruning column at scale)
+    def rank(p: TriplePattern): (Int, Int) = {
+      val consts = Seq(p.s, p.p, p.o).count(_.isInstanceOf[C]) +
+        p.kind.size
+      val predConst = p.p match { case C(_) => 1; case _ => 0 }
+      (consts, predConst)
+    }
+
+    val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
+    val first = remaining.maxBy(rank)
+    remaining -= first
+    var acc = scan(first)
+    var bound = vars(first).toSet
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter(p => vars(p).exists(bound))
+      val next =
+        if (connected.nonEmpty) connected.maxBy(p => (vars(p).count(bound), rank(p)))
+        else remaining.maxBy(rank) // disconnected BGP: deliberate cross join
+      remaining -= next
+      val shared = vars(next).filter(bound).distinct
+      acc =
+        if (shared.nonEmpty) acc.join(scan(next), shared)
+        else acc.crossJoin(scan(next))
+      bound ++= vars(next)
+    }
+    acc
+  }
+
+  /** Bounded transitive closure of one predicate: all (src, dst) pairs
+    * connected by a directed path of 1..maxDepth edges, with the MINIMUM
+    * depth. SPARQL `pred+` with a depth budget — the depth budget is the
+    * scale guard (an unbounded `+` over a crawl graph with cycles and
+    * 10^9-node components is not a job you run; a bounded closure is).
+    *
+    * Scale shape: classic frontier BFS —
+    *
+    *  - the edge set is deduplicated once and checkpointed (it is read
+    *    by every level);
+    *  - sources with out-degree > maxDegree are excluded from EXTENDING
+    *    paths (same documented exclusion as [[GraphMaterialize.twoHopCounts]]:
+    *    a 10^5-out-degree hub multiplies every incoming frontier row) —
+    *    their own depth-1 edges still appear;
+    *  - each level joins the previous NEW frontier (not the whole
+    *    reachable set) against the edges, anti-joins against the
+    *    accumulated pairs (min-depth semantics for free), and
+    *    checkpoints — the plan stays O(1) deep and a level's shuffle is
+    *    proportional to the frontier, not the closure;
+    *  - early exit on an empty frontier (one bounded count action per
+    *    level, ≤ maxDepth actions total).
+    *
+    * At production scale both `reach` and `edges` are bucketed by their
+    * join key so the per-level join co-locates; cycles are handled by the
+    * anti-join (a node reached again at greater depth adds nothing).
+    * Self-pairs (src = dst) ARE emitted when a cycle returns to its
+    * origin (depth = cycle length) — both engines derive them alike.
+    * Eager by contract, like [[GraphMaterialize.hubScores]]. */
+  def pathClosure(triples: DataFrame, pred: String, maxDepth: Int,
+      maxDegree: Int = 1024): DataFrame =
+    pathClosure(triples, Seq(pred), maxDepth, maxDegree)
+
+  /** Alternation form: closure of `(p1|p2|…)+` — one edge set over all
+    * the listed predicates. */
+  def pathClosure(triples: DataFrame, preds: Seq[String], maxDepth: Int,
+      maxDegree: Int): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    require(preds.nonEmpty, "no predicates")
+    val edges = triples
+      .filter(col("pred").isin(preds: _*) && col("objKind") === 0 &&
+        col("subj") =!= col("objValue"))
+      .select(col("subj").as("src"), col("objValue").as("dst"))
+      .distinct().localCheckpoint(true)
+    val okSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree).select(col("src"))
+    val extendable = edges.join(okSrc, Seq("src")).localCheckpoint(true)
+
+    // per-level frames are checkpointed LEAVES; the accumulated reach set
+    // is their union (never itself re-checkpointed — Spark 4's
+    // LogicalRDD constraint rewrite chokes on checkpoint-of-union-of-
+    // checkpoints, and the union of ≤ maxDepth materialized leaves is
+    // already O(1)-deep)
+    var levels = List(edges.withColumn("depth", lit(1)).localCheckpoint(true))
+    var frontier = levels.head
+    var d = 1
+    var frontierNonEmpty = !frontier.isEmpty
+    while (d < maxDepth && frontierNonEmpty) {
+      d += 1
+      val stepped = frontier.as("f")
+        .join(extendable.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+      val seen = levels.map(_.select("src", "dst")).reduce(_ unionByName _)
+      val fresh = stepped
+        .join(seen, Seq("src", "dst"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(true)
+      levels ::= fresh
+      frontier = fresh
+      frontierNonEmpty = !fresh.isEmpty
+    }
+    levels.reduce(_ unionByName _)
+  }
+}
