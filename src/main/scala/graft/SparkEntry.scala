@@ -672,6 +672,19 @@ object SparkEntry {
           TriplePattern(V("hub"), C("http://schema.org/name"), V("hubname"), kind = Some(2))))
         .orderBy(col("e"), col("hub"), col("parent"), col("hubname"))
     }),
+    // the OPTIONAL form: every knows-edge row survives; the parent column
+    // binds only when the known node is a hub (the org cycle) — people
+    // targets keep a null. Exercises the left-join group path with a
+    // genuinely mixed matched/unmatched split; oracle = LEFT JOIN
+    "q_kg_bgp_opt" -> ((s, dir) => {
+      import GraphQuery._
+      matchBgp(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        Seq(TriplePattern(V("p"), C("http://xmlns.com/foaf/0.1/knows"), V("q"))),
+        Seq(Seq(TriplePattern(V("q"),
+          C("http://schema.org/parentOrganization"), V("par")))))
+        .orderBy(col("p"), col("q"), col("par").asc_nulls_first)
+    }),
     // bounded transitive closure with predicate alternation — SPARQL
     // `(knows|parentOrganization)+` to depth 4, min-depth semantics:
     // people reach hubs via knows, then walk the hub parent cycle, so
@@ -1479,6 +1492,16 @@ object SparkEntry {
         |WHERE t1.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
         |  AND t1.objValue = 'http://schema.org/Event'
         |ORDER BY e, hub, parent, hubname""".stripMargin,
+    "q_kg_bgp_opt" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet'))
+        |SELECT k.subj AS p, k.objValue AS q, par.objValue AS par
+        |FROM tr k
+        |LEFT JOIN tr par ON par.subj = k.objValue
+        |  AND par.pred = 'http://schema.org/parentOrganization'
+        |WHERE k.pred = 'http://xmlns.com/foaf/0.1/knows'
+        |ORDER BY p, q, par NULLS FIRST""".stripMargin,
     "q_kg_closure" ->
       """WITH RECURSIVE edges AS (
         |  SELECT DISTINCT subj AS src, objValue AS dst

@@ -67,7 +67,21 @@ object GraphQuery {
     * variable repeated WITHIN one pattern (e.g. `?x :p ?x`) constrains
     * equality at the scan.
     */
-  def matchBgp(triples: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+  def matchBgp(triples: DataFrame, patterns: Seq[TriplePattern]): DataFrame =
+    matchBgp(triples, patterns, Nil)
+
+  /** [[matchBgp]] with SPARQL OPTIONAL groups: each group is itself a BGP,
+    * evaluated independently and LEFT-joined to the required solutions on
+    * the variables it shares with them — solutions keep their row with
+    * nulls for the group's unmatched variables.
+    *
+    * Restriction (what keeps the semantics exactly SQL LEFT JOIN, with no
+    * SPARQL unbound-compatibility subtleties): every optional group must
+    * share ≥1 variable with the REQUIRED patterns, and its join keys are
+    * drawn from required-bound variables only — never from another
+    * optional group's possibly-null columns. Groups attach left-to-right. */
+  def matchBgp(triples: DataFrame, patterns: Seq[TriplePattern],
+      optionals: Seq[Seq[TriplePattern]]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
 
     def vars(p: TriplePattern): Seq[String] =
@@ -110,24 +124,43 @@ object GraphQuery {
       (consts, predConst)
     }
 
-    val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
-    val first = remaining.maxBy(rank)
-    remaining -= first
-    var acc = scan(first)
-    var bound = vars(first).toSet
-    while (remaining.nonEmpty) {
-      val connected = remaining.filter(p => vars(p).exists(bound))
-      val next =
-        if (connected.nonEmpty) connected.maxBy(p => (vars(p).count(bound), rank(p)))
-        else remaining.maxBy(rank) // disconnected BGP: deliberate cross join
-      remaining -= next
-      val shared = vars(next).filter(bound).distinct
-      acc =
-        if (shared.nonEmpty) acc.join(scan(next), shared)
-        else acc.crossJoin(scan(next))
-      bound ++= vars(next)
+    // greedy inner-join chain over one pattern group
+    def joinChain(group: Seq[TriplePattern]): (DataFrame, Set[String]) = {
+      val remaining = scala.collection.mutable.ArrayBuffer(group: _*)
+      val first = remaining.maxBy(rank)
+      remaining -= first
+      var acc = scan(first)
+      var bound = vars(first).toSet
+      while (remaining.nonEmpty) {
+        val connected = remaining.filter(p => vars(p).exists(bound))
+        val next =
+          if (connected.nonEmpty) connected.maxBy(p => (vars(p).count(bound), rank(p)))
+          else remaining.maxBy(rank) // disconnected BGP: deliberate cross join
+        remaining -= next
+        val shared = vars(next).filter(bound).distinct
+        acc =
+          if (shared.nonEmpty) acc.join(scan(next), shared)
+          else acc.crossJoin(scan(next))
+        bound ++= vars(next)
+      }
+      (acc, bound)
     }
-    acc
+
+    val (required, requiredVars) = joinChain(patterns)
+    var introduced = Set.empty[String] // vars bound only by earlier optionals
+    optionals.foldLeft(required) { (acc, group) =>
+      require(group.nonEmpty, "empty OPTIONAL group")
+      val (opt, optVars) = joinChain(group)
+      val clash = optVars.intersect(introduced)
+      require(clash.isEmpty,
+        s"variables ${clash.mkString(", ")} are bound by two OPTIONAL groups " +
+          "— join through a required variable instead")
+      val keys = optVars.intersect(requiredVars).toSeq.sorted
+      require(keys.nonEmpty,
+        "OPTIONAL group shares no variable with the required patterns")
+      introduced ++= optVars -- requiredVars
+      acc.join(opt, keys, "left")
+    }
   }
 
   /** Bounded transitive closure of one predicate: all (src, dst) pairs

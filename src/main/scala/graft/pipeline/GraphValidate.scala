@@ -93,16 +93,18 @@ object GraphValidate {
           (col("objDatatype").isNull || col("objDatatype") =!= col("dtype")), 1)
           .otherwise(0)).as("bad_dtype"))
 
-    val minV = counted.filter(col("cnt") < col("min_count"))
-      .select(col("focus"), col("cls"), col("pred"), lit("minCount").as("code"))
-    val maxV = counted.filter(col("cnt") > col("max_count"))
-      .select(col("focus"), col("cls"), col("pred"), lit("maxCount").as("code"))
-    val kindV = counted.filter(col("bad_kind") > 0)
-      .select(col("focus"), col("cls"), col("pred"), lit("nodeKind").as("code"))
-    val dtypeV = counted.filter(col("bad_dtype") > 0)
-      .select(col("focus"), col("cls"), col("pred"), lit("datatype").as("code"))
-
-    minV.unionByName(maxV).unionByName(kindV).unionByName(dtypeV)
+    // one pass over the counted frame: the four verdicts become an
+    // in-row array + explode rather than a 4-way union of filters (a
+    // union would re-run the whole join+agg subtree once per branch —
+    // the multi-branch mistake this repo has paid for before)
+    counted.select(col("focus"), col("cls"), col("pred"),
+      array(
+        when(col("cnt") < col("min_count"), lit("minCount")),
+        when(col("cnt") > col("max_count"), lit("maxCount")),
+        when(col("bad_kind") > 0, lit("nodeKind")),
+        when(col("bad_dtype") > 0, lit("datatype"))).as("codes"))
+      .select(col("focus"), col("cls"), col("pred"),
+        explode(filter(col("codes"), c => c.isNotNull)).as("code"))
   }
 
   /** The corpus-facing shape catalog used by the driver query — a mix of

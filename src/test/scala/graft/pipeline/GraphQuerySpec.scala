@@ -98,6 +98,44 @@ class GraphQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIONAL groups left-join: matched rows bind, unmatched rows keep nulls") {
+    val df = triplesOf(Seq(
+      ("a", "knows", "h1"), ("b", "knows", "x"),
+      ("h1", "parent", "h2")))
+    val out = matchBgp(df,
+      Seq(TriplePattern(V("p"), C("knows"), V("q"))),
+      Seq(Seq(TriplePattern(V("q"), C("parent"), V("par")))))
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("p"), r.getAs[String]("q"), r.getAs[String]("par"))).toSet
+    assert(rows == Set(("a", "h1", "h2"), ("b", "x", null)))
+  }
+
+  test("two OPTIONAL groups attach independently; cross-group vars are rejected") {
+    val df = triplesOf(Seq(
+      ("a", "knows", "h1"), ("h1", "parent", "h2"), ("h1", "label", "L")))
+    val out = matchBgp(df,
+      Seq(TriplePattern(V("p"), C("knows"), V("q"))),
+      Seq(
+        Seq(TriplePattern(V("q"), C("parent"), V("par"))),
+        Seq(TriplePattern(V("q"), C("label"), V("lab")))))
+    val r = out.collect().head
+    assert((r.getAs[String]("par"), r.getAs[String]("lab")) == ("h2", "L"))
+    // a var bound only by two optional groups is ambiguous — rejected
+    assertThrows[IllegalArgumentException] {
+      matchBgp(df,
+        Seq(TriplePattern(V("p"), C("knows"), V("q"))),
+        Seq(
+          Seq(TriplePattern(V("q"), C("parent"), V("z"))),
+          Seq(TriplePattern(V("q"), C("label"), V("z")))))
+    }
+    // an optional group disconnected from the required patterns is rejected
+    assertThrows[IllegalArgumentException] {
+      matchBgp(df,
+        Seq(TriplePattern(V("p"), C("knows"), V("q"))),
+        Seq(Seq(TriplePattern(V("other"), C("label"), V("lab")))))
+    }
+  }
+
   test("pathClosure computes min depth, honors the bound, handles shortcuts") {
     // chain a->b->c->d->e plus shortcut a->c
     val df = triplesOf(Seq(
