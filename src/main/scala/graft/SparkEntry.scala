@@ -698,6 +698,17 @@ object SparkEntry {
         maxDepth = 4, maxDegree = 1024)
         .withColumn("depth", col("depth").cast("long"))
         .orderBy(col("src"), col("dst"))),
+    // RDFS-lite type entailment (rdfs2/3/9/11): asserted + domain/range-
+    // derived types propagated up a broadcast ontology's subClassOf
+    // closure — the inference pass that types the corpus's untyped
+    // people (knows domain) and hub entities (brand/parentOrganization
+    // range); oracle = the same rules with the closure re-derived by a
+    // recursive CTE over the identical VALUES ontology
+    "q_kg_rdfs" -> ((s, dir) =>
+      GraphInfer.entailTypes(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        GraphInfer.CorpusOntology)
+        .orderBy(col("subj"), col("cls"))),
     // SHACL-lite shape validation: cardinality / nodeKind / datatype
     // constraints over the typed corpus entities (a mix of satisfied and
     // naturally-violated shapes — see GraphValidate.CorpusShapes); oracle
@@ -1518,6 +1529,46 @@ object SparkEntry {
         |  FROM r JOIN ext e ON r.dst = e.src WHERE r.depth < 4)
         |SELECT src, dst, CAST(MIN(depth) AS BIGINT) AS depth
         |FROM r GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+    "q_kg_rdfs" ->
+      """WITH RECURSIVE subclass(sub, sup) AS (
+        |  VALUES
+        |  ('http://schema.org/Product', 'http://schema.org/Offering'),
+        |  ('http://schema.org/Offering', 'http://schema.org/Thing'),
+        |  ('http://schema.org/Event', 'http://schema.org/Happening'),
+        |  ('http://schema.org/Happening', 'http://schema.org/Thing'),
+        |  ('http://schema.org/Organization', 'http://schema.org/Agent'),
+        |  ('http://schema.org/Agent', 'http://schema.org/Thing'),
+        |  ('http://schema.org/Article', 'http://schema.org/CreativeWork'),
+        |  ('http://schema.org/CreativeWork', 'http://schema.org/Thing'),
+        |  ('http://schema.org/Person', 'http://schema.org/Agent')),
+        |dom(dpred, dcls) AS (
+        |  VALUES
+        |  ('http://xmlns.com/foaf/0.1/knows', 'http://schema.org/Person'),
+        |  ('http://schema.org/location', 'http://schema.org/Event')),
+        |rng(rpred, rcls) AS (
+        |  VALUES
+        |  ('http://schema.org/brand', 'http://schema.org/Organization'),
+        |  ('http://schema.org/parentOrganization', 'http://schema.org/Organization')),
+        |closure(sub, sup) AS (
+        |  SELECT c, c FROM (
+        |    SELECT sub AS c FROM subclass UNION SELECT sup FROM subclass)
+        |  UNION
+        |  SELECT c.sub, s.sup FROM closure c JOIN subclass s ON c.sup = s.sub),
+        |tr AS (
+        |  SELECT subj, pred, objKind, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |base AS (
+        |  SELECT subj, objValue AS cls FROM tr
+        |  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |    AND objKind = 0
+        |  UNION ALL
+        |  SELECT t.subj, d.dcls AS cls FROM tr t JOIN dom d ON t.pred = d.dpred
+        |  UNION ALL
+        |  SELECT t.objValue AS subj, r.rcls AS cls FROM tr t
+        |  JOIN rng r ON t.pred = r.rpred WHERE t.objKind IN (0, 1))
+        |SELECT DISTINCT b.subj, coalesce(c.sup, b.cls) AS cls
+        |FROM base b LEFT JOIN closure c ON b.cls = c.sub
+        |ORDER BY subj, cls""".stripMargin,
     "q_kg_validate" ->
       """WITH shapes(cls, spred, min_count, max_count, node_kind, dtype) AS (
         |  VALUES
