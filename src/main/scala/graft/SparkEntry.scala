@@ -698,6 +698,20 @@ object SparkEntry {
         maxDepth = 4, maxDegree = 1024)
         .withColumn("depth", col("depth").cast("long"))
         .orderBy(col("src"), col("dst"))),
+    // CONSTRUCT-style derived-edge materialization: events get a direct
+    // affiliatedWith edge to their location hub's parent org (the
+    // shortcut-edge pass that makes multi-hop relations queryable);
+    // oracle = the same BGP as SQL joins projecting the template triple
+    "q_kg_construct" -> ((s, dir) => {
+      import GraphQuery._
+      constructEdges(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        Seq(
+          TriplePattern(V("e"), C("http://schema.org/location"), V("hub"), kind = Some(0)),
+          TriplePattern(V("hub"), C("http://schema.org/parentOrganization"), V("par"), kind = Some(0))),
+        subjVar = "e", predIri = "http://graft.example/affiliatedWith", objVar = "par")
+        .orderBy(col("subj"), col("objValue"))
+    }),
     // RDFS-lite type entailment (rdfs2/3/9/11): asserted + domain/range-
     // derived types propagated up a broadcast ontology's subClassOf
     // closure — the inference pass that types the corpus's untyped
@@ -1529,6 +1543,22 @@ object SparkEntry {
         |  FROM r JOIN ext e ON r.dst = e.src WHERE r.depth < 4)
         |SELECT src, dst, CAST(MIN(depth) AS BIGINT) AS depth
         |FROM r GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+    "q_kg_construct" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objKind, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet'))
+        |SELECT DISTINCT a.subj AS subj,
+        |  'http://graft.example/affiliatedWith' AS pred,
+        |  CAST(0 AS TINYINT) AS objKind,
+        |  b.objValue AS objValue,
+        |  CAST(NULL AS VARCHAR) AS objDatatype,
+        |  CAST(NULL AS VARCHAR) AS objLang,
+        |  '@default' AS graph
+        |FROM tr a
+        |JOIN tr b ON b.subj = a.objValue
+        |  AND b.pred = 'http://schema.org/parentOrganization' AND b.objKind = 0
+        |WHERE a.pred = 'http://schema.org/location' AND a.objKind = 0
+        |ORDER BY subj, objValue""".stripMargin,
     "q_kg_rdfs" ->
       """WITH RECURSIVE subclass(sub, sup) AS (
         |  VALUES

@@ -163,6 +163,35 @@ object GraphQuery {
     }
   }
 
+  /** SPARQL-CONSTRUCT-style derived-edge materialization: match `patterns`
+    * and emit one `(subjVar, predIri, objVar)` IRI-to-IRI triple per
+    * distinct solution — the "shortcut edge" pass a KG pipeline runs to
+    * make multi-hop relations directly queryable (e.g. event→location→
+    * parentOrganization ⟹ event→affiliatedWith→org).
+    *
+    * Restricted to IRI-kind outputs on purpose: the solution columns are
+    * bare lexical forms (matchBgp does not carry node kinds through
+    * joins), so emitting literals would require guessing datatypes.
+    * Derived ENTITY edges — the dominant CONSTRUCT use in graph
+    * materialization — need no such guess. Constrain the bound vars to
+    * IRIs at the pattern level (`kind = Some(0)`) when the data could
+    * bind bnodes/literals.
+    *
+    * Output schema = the full [[Triple]] row (datatype/lang null,
+    * default graph), distinct — ready to union into the triples table. */
+  def constructEdges(triples: DataFrame, patterns: Seq[TriplePattern],
+      subjVar: String, predIri: String, objVar: String): DataFrame =
+    matchBgp(triples, patterns)
+      .select(
+        col(subjVar).as("subj"),
+        lit(predIri).as("pred"),
+        lit(0).cast("tinyint").as("objKind"),
+        col(objVar).as("objValue"),
+        lit(null).cast("string").as("objDatatype"),
+        lit(null).cast("string").as("objLang"),
+        lit("@default").as("graph"))
+      .distinct()
+
   /** Bounded transitive closure of one predicate: all (src, dst) pairs
     * connected by a directed path of 1..maxDepth edges, with the MINIMUM
     * depth. SPARQL `pred+` with a depth budget — the depth budget is the

@@ -136,6 +136,23 @@ class GraphQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("constructEdges emits distinct derived IRI edges, full triple schema") {
+    import spark.implicits._
+    val df = triplesOf(Seq(
+      ("e1", "loc", "h1"), ("e2", "loc", "h1"), ("h1", "parent", "p1"),
+      ("e1", "loc", "h2"), ("h2", "parent", "p1"))) // e1 reaches p1 twice
+    val out = constructEdges(df,
+      Seq(TriplePattern(V("e"), C("loc"), V("h"), kind = Some(0)),
+        TriplePattern(V("h"), C("parent"), V("p"), kind = Some(0))),
+      subjVar = "e", predIri = "aff", objVar = "p")
+    assert(out.columns.toSeq ==
+      Seq("subj", "pred", "objKind", "objValue", "objDatatype", "objLang", "graph"))
+    val rows = out.as[Triple].collect().map(t => (t.subj, t.pred, t.objValue)).toSet
+    assert(rows == Set(("e1", "aff", "p1"), ("e2", "aff", "p1"))) // deduped
+    // emitted rows union cleanly back into a Dataset[Triple]
+    assert(df.as[Triple].unionByName(out.as[Triple]).count() == df.count() + 2)
+  }
+
   test("pathClosure computes min depth, honors the bound, handles shortcuts") {
     // chain a->b->c->d->e plus shortcut a->c
     val df = triplesOf(Seq(
