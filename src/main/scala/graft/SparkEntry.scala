@@ -666,7 +666,7 @@ object SparkEntry {
       matchBgp(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
         Seq(
-          TriplePattern(V("e"), C(GraphValidate.RdfType), C("http://schema.org/Event")),
+          TriplePattern(V("e"), C(Rdf.Type), C("http://schema.org/Event")),
           TriplePattern(V("e"), C("http://schema.org/location"), V("hub")),
           TriplePattern(V("hub"), C("http://schema.org/parentOrganization"), V("parent")),
           TriplePattern(V("hub"), C("http://schema.org/name"), V("hubname"), kind = Some(2))))
@@ -1622,7 +1622,7 @@ object SparkEntry {
         |tg AS (SELECT g.focus, s.* FROM targets g JOIN shapes s USING (cls)),
         |ev AS (
         |  SELECT tg.focus, tg.cls, tg.spred AS pred,
-        |    tg.min_count, tg.max_count,
+        |    tg.min_count, tg.max_count, tg.node_kind, tg.dtype,
         |    count(p.subj) AS cnt,
         |    coalesce(sum(CASE WHEN tg.node_kind IS NOT NULL
         |      AND p.objKind <> tg.node_kind THEN 1 ELSE 0 END), 0) AS bad_kind,

@@ -65,7 +65,7 @@ object GraphInfer {
           StructField(b, StringType, nullable = false)))))
 
     val asserted = triples
-      .filter(col("pred") === GraphValidate.RdfType && col("objKind") === 0)
+      .filter(col("pred") === Rdf.Type && col("objKind") === 0)
       .select(col("subj"), col("objValue").as("cls"))
     val domTyped = triples
       .join(pairsDf(ont.domain, "pred", "cls"), Seq("pred"))

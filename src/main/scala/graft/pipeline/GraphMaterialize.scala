@@ -204,7 +204,7 @@ object GraphMaterialize {
       .toDF("subj", "node_json")
   }
 
-  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RdfType = Rdf.Type
 
   /** Corpus-level framing (SURVEY.md §2.2 C14 corpus analogue: "the frame
     * is a filter + join"): frame-match = subjects carrying rdf:type

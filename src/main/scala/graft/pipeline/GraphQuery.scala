@@ -148,7 +148,7 @@ object GraphQuery {
 
     val (required, requiredVars) = joinChain(patterns)
     var introduced = Set.empty[String] // vars bound only by earlier optionals
-    optionals.foldLeft(required) { (acc, group) =>
+    val joined = optionals.foldLeft(required) { (acc, group) =>
       require(group.nonEmpty, "empty OPTIONAL group")
       val (opt, optVars) = joinChain(group)
       val clash = optVars.intersect(introduced)
@@ -161,6 +161,11 @@ object GraphQuery {
       introduced ++= optVars -- requiredVars
       acc.join(opt, keys, "left")
     }
+    // pin the documented column contract (first-mention order) — the
+    // greedy join order would otherwise leak into the output layout
+    val mentionOrder = (patterns ++ optionals.flatten)
+      .flatMap(vars).distinct
+    joined.select(mentionOrder.map(col): _*)
   }
 
   /** SPARQL-CONSTRUCT-style derived-edge materialization: match `patterns`
@@ -219,7 +224,12 @@ object GraphQuery {
     * anti-join (a node reached again at greater depth adds nothing).
     * Self-pairs (src = dst) ARE emitted when a cycle returns to its
     * origin (depth = cycle length) — both engines derive them alike.
-    * Eager by contract, like [[GraphMaterialize.hubScores]]. */
+    * Eager by contract, like [[GraphMaterialize.hubScores]]; checkpoint
+    * blocks (edges + one per level) carry no named cache entry and are
+    * reclaimed by the ContextCleaner once the returned frame is
+    * unreferenced — a standalone 6-pass repeat probe
+    * (ClosureRepeatProbe) measures flat per-pass times, no block
+    * accumulation (the in-bench pass growth was session interference). */
   def pathClosure(triples: DataFrame, pred: String, maxDepth: Int,
       maxDegree: Int = 1024): DataFrame =
     pathClosure(triples, Seq(pred), maxDepth, maxDegree)

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   */
 object GraphValidate {
 
-  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val RdfType = Rdf.Type
 
   /** One property shape. `nodeKind` constrains objKind (0 = IRI,
     * 1 = bnode, 2 = literal); `datatype` constrains objDatatype (only
@@ -44,8 +44,8 @@ object GraphValidate {
     *  - targets = one pass over the rdf:type slice of the table
     *    (predicate-partitioned at scale → one partition's files);
     *  - constrained property rows = one pass over the shapes' predicates
-    *    (an IN-list of constants pushed to the scan via the broadcast
-    *    semi join);
+    *    (their IN-list is a pushed scan filter — rows of unconstrained
+    *    predicates are never read, let alone shuffled);
     *  - the only real exchange is the groupBy (focus, cls, pred): counts
     *    and mismatch flags fold map-side, so state per group is O(1)
     *    no matter how many values a hub node has — a focus with 10^6
@@ -78,9 +78,15 @@ object GraphValidate {
       .distinct()
       .join(shapesDf, Seq("cls"))
 
-    val props = triples.select(
-      col("subj").as("focus"), col("pred"),
-      col("objKind"), col("objDatatype"))
+    // only the shapes' predicates matter — the IN-list is a pushed scan
+    // filter, so the (focus, pred) exchange below carries the constrained
+    // slice of the table, never every predicate's rows
+    val shapePreds = shapes.map(_.pred).distinct
+    val props = triples
+      .filter(col("pred").isin(shapePreds: _*))
+      .select(
+        col("subj").as("focus"), col("pred"),
+        col("objKind"), col("objDatatype"))
 
     val counted = targets.join(props, Seq("focus", "pred"), "left")
       .groupBy(col("focus"), col("cls"), col("pred"),

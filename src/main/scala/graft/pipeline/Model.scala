@@ -70,3 +70,10 @@ final case class LineageRow(
     triple_count: Long,
     status: String,
     updated_at: Timestamp)
+
+/** Shared RDF vocabulary constants (one definition — framing, validation,
+  * and inference all filter on these; two drifting copies of a
+  * load-bearing IRI would silently match nothing). */
+object Rdf {
+  val Type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+}
