@@ -500,6 +500,24 @@ object SparkEntry {
         .groupBy(col("subj_canon")).agg(count(lit(1)).as("n"))
         .orderBy(col("subj_canon"))
     }),
+    // owl:sameAs-style entity merge: equivalence classes over the graph's
+    // sameAs assertions collapse to their min-IRI representative, every
+    // triple is rewritten onto representatives, the consumed assertions
+    // dropped and the merged graph deduplicated; the oracle recomputes
+    // the classes via a recursive closure and the rewrite via left joins
+    "q_kg_sameas" -> ((s, dir) =>
+      GraphMaterialize.sameAsMerge(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
+          col("objDatatype").asc_nulls_first, col("objLang").asc_nulls_first,
+          col("graph"))),
+    // characteristic sets (Neumann & Moerkotte): subjects grouped by
+    // their exact distinct-predicate set — the RDF schema census; the
+    // oracle rebuilds each set with string_agg over sorted distinct preds
+    "q_kg_charsets" -> ((s, dir) =>
+      GraphMaterialize.characteristicSets(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("n_subjects").desc, col("cs"))),
     // typed-Aggregator UDAF (map-side partial agg, O(1) buffer per group)
     // — the §2.4 UDAF surface, oracle-checked against plain SQL aggregates
     "q_kg_stats" -> ((s, dir) => {
@@ -1192,6 +1210,36 @@ object SparkEntry {
         |SELECT coalesce(lm.entity, tr.subj) AS subj_canon, count(*) AS n
         |FROM tr LEFT JOIN lm ON tr.subj = lm.subj
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_sameas" ->
+      """WITH RECURSIVE tr AS (
+        |  SELECT * FROM read_parquet('{AUX}/triples/*.parquet')),
+        |se AS (
+        |  SELECT subj AS x, objValue AS y FROM tr
+        |  WHERE pred = 'http://schema.org/sameAs' AND objKind = 0 AND subj <> objValue),
+        |edges AS (SELECT x, y FROM se UNION SELECT y, x FROM se),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |comp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+        |m AS (SELECT id, comp FROM comp WHERE id <> comp)
+        |SELECT DISTINCT
+        |  coalesce(ms.comp, t.subj) AS subj, t.pred, t.objKind,
+        |  CASE WHEN t.objKind = 0 THEN coalesce(mo.comp, t.objValue)
+        |       ELSE t.objValue END AS objValue,
+        |  t.objDatatype, t.objLang, t.graph
+        |FROM tr t
+        |LEFT JOIN m ms ON ms.id = t.subj
+        |LEFT JOIN m mo ON mo.id = t.objValue
+        |WHERE t.pred <> 'http://schema.org/sameAs'
+        |ORDER BY subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
+    "q_kg_charsets" ->
+      """WITH ps AS (
+        |  SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) AS cs,
+        |    count(*) AS nt
+        |  FROM read_parquet('{AUX}/triples/*.parquet') GROUP BY subj)
+        |SELECT cs, count(*) AS n_subjects, CAST(sum(nt) AS BIGINT) AS n_triples
+        |FROM ps GROUP BY cs ORDER BY n_subjects DESC, cs""".stripMargin,
     "q_kg_stats" ->
       """SELECT pred, count(*) AS n,
         |  CAST(sum(CASE WHEN objKind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS literals,

@@ -133,6 +133,80 @@ object GraphMaterialize {
       .drop("entity")
   }
 
+  /** owl:sameAs-style entity merge: the classic KG-construction
+    * resolution step downstream of entity linking. Triples asserting
+    * `sameAsPred` between two IRIs are equivalence edges; each
+    * equivalence class collapses to its minimum IRI (deterministic
+    * canonical representative), every other triple is rewritten onto the
+    * representatives, the consumed `sameAsPred` assertions are dropped,
+    * and the merged graph is deduplicated (merging entities makes
+    * previously-distinct triples collide — the final `distinct` is the
+    * one wide stage and is inherent to the semantics).
+    *
+    * Scale shape:
+    *  - equivalence classes via [[graft.ops.DedupOps.dedupComponents]]
+    *    (iterative min-label propagation — per-round one equi-join + one
+    *    hash agg over id pairs, no driver-side graph; sameAs chains in
+    *    web data are short, so convergence is a few rounds);
+    *  - the rewrite mapping holds only NON-trivial rows (id != comp),
+    *    bounded by the sameAs assertion count — orders of magnitude
+    *    smaller than the corpus. It is locally checkpointed once (read
+    *    by two join branches; the repo's multi-branch rule) but NOT
+    *    broadcast-hinted: at web scale a sameAs dictionary can be 10^8
+    *    rows (cross-wiki links), so the build side is left to AQE, which
+    *    broadcasts when it fits and shuffles when it doesn't;
+    *  - object rewrite applies only to IRI objects (objKind 0) — bnode
+    *    labels and literals can never equal a mapped IRI, and the `when`
+    *    guard keeps the semantics explicit anyway.
+    *
+    * Eager by contract (components iterate), like [[hubScores]]. */
+  def sameAsMerge(triples: DataFrame,
+      sameAsPred: String = "http://schema.org/sameAs",
+      maxIter: Int = 20): DataFrame = {
+    val edges = triples
+      .filter(col("pred") === sameAsPred && col("objKind") === 0 &&
+        col("subj") =!= col("objValue"))
+      .select(col("subj").as("a"), col("objValue").as("b"))
+      .distinct()
+    val mapping = graft.ops.DedupOps.dedupComponents(edges, maxIter)
+      .filter(col("id") =!= col("comp"))
+      .localCheckpoint(true)
+    val subjMap = mapping.select(col("id").as("subj"), col("comp").as("subj_c"))
+    val objMap = mapping.select(col("id").as("objValue"), col("comp").as("obj_c"))
+    triples.filter(col("pred") =!= sameAsPred)
+      .join(subjMap, Seq("subj"), "left")
+      .join(objMap, Seq("objValue"), "left")
+      .select(
+        coalesce(col("subj_c"), col("subj")).as("subj"),
+        col("pred"),
+        col("objKind"),
+        when(col("objKind") === 0, coalesce(col("obj_c"), col("objValue")))
+          .otherwise(col("objValue")).as("objValue"),
+        col("objDatatype"), col("objLang"), col("graph"))
+      .distinct()
+  }
+
+  /** Characteristic sets (Neumann & Moerkotte, ICDE 2011): schema
+    * induction over a schemaless triple corpus — group subjects by their
+    * exact set of distinct predicates. The result is the backbone
+    * statistic for RDF cardinality estimation and physical design
+    * (tables-per-characteristic-set layouts), and at crawl scale it is
+    * the cheapest "what shapes does this graph actually contain" census.
+    *
+    * Scale shape: one shuffle keyed by subj (collect_set state bounded
+    * by the graph's live predicate vocabulary — dozens, not corpus-
+    * sized; partial aggregation runs map-side), then a second tiny agg
+    * keyed by the set fingerprint whose cardinality is the number of
+    * distinct shapes (thousands at web scale). No row ever carries more
+    * than one subject's predicate set. */
+  def characteristicSets(triples: DataFrame): DataFrame =
+    triples
+      .groupBy(col("subj"))
+      .agg(concat_ws("|", sort_array(collect_set(col("pred")))).as("cs"),
+        count(lit(1)).as("nt"))
+      .groupBy(col("cs"))
+      .agg(count(lit(1)).as("n_subjects"), sum(col("nt")).as("n_triples"))
+
   /** Newest-observation pick: when the same (s,p) is observed at several
     * warc_ts, keep the latest (window row_number; SURVEY.md §2.4). */
   def newestObservation(triplesWithTs: DataFrame): DataFrame = {

@@ -74,4 +74,93 @@ class GraphPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Full-width random triples (7 columns) with sameAs equivalence
+    * assertions woven in: chains, duplicates, a literal-object sameAs
+    * (must be ignored), self sameAs (dropped), mixed datatypes/langs and
+    * a second named graph. */
+  private def randomFullTriples(seed: Int, nodes: Int, edges: Int, sameAs: Int)
+      : Seq[(String, String, Byte, String, String, String, String)] = {
+    val r = new Random(seed)
+    val same = "http://schema.org/sameAs"
+    val regular = (0 until edges).map { _ =>
+      val s = s"n${r.nextInt(nodes)}"
+      val g = if (r.nextInt(4) == 0) "g1" else "@default"
+      r.nextInt(5) match {
+        case 0 => (s, s"p${r.nextInt(3)}", 2.toByte, s"lit ${r.nextInt(10)}",
+          "http://www.w3.org/2001/XMLSchema#integer", null, g)
+        case 1 => (s, s"p${r.nextInt(3)}", 2.toByte, s"lit ${r.nextInt(10)}", null, "en", g)
+        case _ => (s, s"p${r.nextInt(3)}", 0.toByte, s"n${r.nextInt(nodes)}", null, null, g)
+      }
+    }
+    val eq = (0 until sameAs).map { _ =>
+      (s"n${r.nextInt(nodes)}", same, 0.toByte, s"n${r.nextInt(nodes)}",
+        null: String, null: String, "@default")
+    }
+    val junk = Seq(
+      (s"n0", same, 2.toByte, "n1", null: String, null: String, "@default"), // literal obj: ignored
+      (s"n2", same, 0.toByte, "n2", null: String, null: String, "@default")) // self: dropped
+    regular ++ eq ++ junk ++ eq.take(sameAs / 2) // duplicated assertions
+  }
+
+  test("sameAsMerge: distributed merge == sequential union-find reference") {
+    import spark.implicits._
+    val same = "http://schema.org/sameAs"
+    for (seed <- Seq(31, 32, 33)) {
+      val rows = randomFullTriples(seed, nodes = 40, edges = 300, sameAs = 25)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue",
+        "objDatatype", "objLang", "graph")
+      val got = GraphMaterialize.sameAsMerge(df)
+        .as[(String, String, Byte, String, Option[String], Option[String], String)]
+        .collect().toSet
+
+      // sequential union-find, representative = min id in class
+      val eqEdges = rows.collect {
+        case (s, p, k, o, _, _, _) if p == same && k == 0 && s != o => (s, o)
+      }
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      eqEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      def rep(x: String) = find(x)
+      val expect = rows.collect {
+        case (s, p, k, o, dt, lg, g) if p != same =>
+          (rep(s), p, k, if (k == 0) rep(o) else o, Option(dt), Option(lg), g)
+      }.toSet
+      assert(got == expect, s"seed=$seed")
+      // no sameAs assertions survive; every surviving id is a representative
+      assert(!got.exists(_._2 == same), s"seed=$seed")
+      got.foreach { case (s, _, k, o, _, _, _) =>
+        assert(rep(s) == s, s"seed=$seed non-canonical subj $s")
+        if (k == 0) assert(rep(o) == o, s"seed=$seed non-canonical obj $o")
+      }
+    }
+  }
+
+  test("characteristicSets: distributed census == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(41, 42, 43)) {
+      val rows = randomFullTriples(seed, nodes = 25, edges = 250, sameAs = 10)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue",
+        "objDatatype", "objLang", "graph")
+      val got = GraphMaterialize.characteristicSets(df)
+        .as[(String, Long, Long)].collect().toSet
+
+      val bySubj = rows.groupBy(_._1).toSeq.map { case (_, rs) =>
+        (rs.map(_._2).distinct.sorted.mkString("|"), rs.size.toLong)
+      }
+      val expect = bySubj.groupBy(_._1).map { case (cs, xs) =>
+        (cs, xs.size.toLong, xs.map(_._2).sum)
+      }.toSet
+      assert(got == expect, s"seed=$seed")
+      // the census partitions the corpus: subjects and triples both add up
+      assert(got.toSeq.map(_._2).sum == rows.map(_._1).distinct.size, s"seed=$seed")
+      assert(got.toSeq.map(_._3).sum == rows.size, s"seed=$seed")
+    }
+  }
 }
