@@ -500,6 +500,34 @@ object SparkEntry {
         .groupBy(col("subj_canon")).agg(count(lit(1)).as("n"))
         .orderBy(col("subj_canon"))
     }),
+    // temporal validity intervals (SCD2 over crawl re-observations): a
+    // deterministic 3-version history is synthesized over the functional
+    // schema:name predicate and collapsed into [valid_from, valid_to)
+    // intervals; the oracle replays the identical lag/sum/lead windows
+    "q_kg_intervals" -> ((s, dir) => {
+      val base = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+        .filter(col("pred") === "http://schema.org/name")
+        .select(col("subj"), col("pred"), col("objKind"), col("objValue"),
+          (lit(1700000000L) + length(col("objValue")) * 1000L + length(col("subj")))
+            .cast("long").as("warc_ts"))
+      def version(suffix: String, dt: Long, modN: Int) =
+        base.filter(length(col("subj")) % modN === 0)
+          .withColumn("objValue", concat(col("objValue"), lit(suffix)))
+          .withColumn("warc_ts", col("warc_ts") + dt)
+      val obs = base
+        .unionByName(version(" v2", 5000L, 2))   // value change
+        .unionByName(version(" v2", 9000L, 4))   // re-observation, same value
+        .unionByName(version(" v3", 12000L, 4))  // second change
+      GraphMaterialize.temporalIntervals(obs)
+        .orderBy(col("subj"), col("pred"), col("valid_from"), col("objValue"))
+    }),
+    // schema graph (SchemEX-style quotient summary): subjects collapse to
+    // their characteristic set, node-to-node edges are counted between
+    // set-groups; objects never seen as subjects group under (leaf)
+    "q_kg_schemagraph" -> ((s, dir) =>
+      GraphMaterialize.schemaGraph(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("n_edges").desc, col("src_cs"), col("pred"), col("dst_cs"))),
     // owl:sameAs-style entity merge: equivalence classes over the graph's
     // sameAs assertions collapse to their min-IRI representative, every
     // triple is rewritten onto representatives, the consumed assertions
@@ -1210,6 +1238,54 @@ object SparkEntry {
         |SELECT coalesce(lm.entity, tr.subj) AS subj_canon, count(*) AS n
         |FROM tr LEFT JOIN lm ON tr.subj = lm.subj
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_intervals" ->
+      """WITH base AS (
+        |  SELECT subj, pred, objKind, objValue,
+        |    1700000000 + length(objValue) * 1000 + length(subj) AS warc_ts
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE pred = 'http://schema.org/name'),
+        |obs AS (
+        |  SELECT subj, pred, objKind, objValue, warc_ts FROM base
+        |  UNION ALL SELECT subj, pred, objKind, objValue || ' v2', warc_ts + 5000
+        |    FROM base WHERE length(subj) % 2 = 0
+        |  UNION ALL SELECT subj, pred, objKind, objValue || ' v2', warc_ts + 9000
+        |    FROM base WHERE length(subj) % 4 = 0
+        |  UNION ALL SELECT subj, pred, objKind, objValue || ' v3', warc_ts + 12000
+        |    FROM base WHERE length(subj) % 4 = 0),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(objValue) OVER w IS NULL
+        |      OR lag(objValue) OVER w <> objValue
+        |      OR lag(objKind) OVER w <> objKind THEN 1 ELSE 0 END AS chg
+        |  FROM obs WINDOW w AS (
+        |    PARTITION BY subj, pred ORDER BY warc_ts, objValue, objKind)),
+        |runs0 AS (
+        |  SELECT *, sum(chg) OVER (
+        |    PARTITION BY subj, pred ORDER BY warc_ts, objValue, objKind
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM marked),
+        |runs AS (
+        |  SELECT subj, pred, min(objKind) AS objKind, min(objValue) AS objValue,
+        |    CAST(min(warc_ts) AS BIGINT) AS valid_from, run
+        |  FROM runs0 GROUP BY subj, pred, run)
+        |SELECT subj, pred, objKind, objValue, valid_from,
+        |  lead(valid_from) OVER (
+        |    PARTITION BY subj, pred ORDER BY valid_from, run) AS valid_to
+        |FROM runs
+        |ORDER BY subj, pred, valid_from, objValue""".stripMargin,
+    "q_kg_schemagraph" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objKind, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |cs AS (
+        |  SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) AS cs
+        |  FROM tr GROUP BY subj)
+        |SELECT s.cs AS src_cs, t.pred, coalesce(d.cs, '(leaf)') AS dst_cs,
+        |  count(*) AS n_edges
+        |FROM tr t
+        |JOIN cs s ON s.subj = t.subj
+        |LEFT JOIN cs d ON d.subj = t.objValue
+        |WHERE t.objKind IN (0, 1)
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_edges DESC, src_cs, pred, dst_cs""".stripMargin,
     "q_kg_sameas" ->
       """WITH RECURSIVE tr AS (
         |  SELECT * FROM read_parquet('{AUX}/triples/*.parquet')),

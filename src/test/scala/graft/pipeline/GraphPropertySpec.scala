@@ -142,6 +142,76 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("temporalIntervals: distributed SCD2 == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(51, 52, 53)) {
+      val r = new Random(seed)
+      // observation streams with repeats, same-ts collisions, value
+      // flip-flops, and kind changes under one lexical value
+      val rows = (0 until 400).map { _ =>
+        (s"n${r.nextInt(12)}", s"p${r.nextInt(3)}",
+          (if (r.nextInt(6) == 0) 0 else 2).toByte,
+          s"v${r.nextInt(4)}", 1000L + r.nextInt(8) * 100L)
+      }
+      val df = rows.toDF("subj", "pred", "objKind", "objValue", "warc_ts")
+      val got = GraphMaterialize.temporalIntervals(df)
+        .as[(String, String, Byte, String, Long, Option[Long])]
+        .collect().toSet
+
+      val expect = rows.groupBy(x => (x._1, x._2)).toSeq.flatMap { case ((s, p), os) =>
+        val ordered = os.map(o => (o._5, o._4, o._3)).sortBy(x => (x._1, x._2, x._3))
+        // runs over (value, kind)
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Byte, String, Long)]
+        var prev: Option[(String, Byte)] = None
+        ordered.foreach { case (ts, v, k) =>
+          if (!prev.contains((v, k))) { runs += ((k, v, ts)); prev = Some((v, k)) }
+        }
+        runs.toSeq.zipWithIndex.map { case ((k, v, from), i) =>
+          val to = if (i + 1 < runs.size) Some(runs(i + 1)._3) else None
+          (s, p, k, v, from, to)
+        }
+      }.toSet
+      assert(got == expect, s"seed=$seed")
+      // intervals for one key chain: each valid_to equals the next
+      // valid_from, exactly one open interval per (subj, pred)
+      got.groupBy(x => (x._1, x._2)).foreach { case (k, ivs) =>
+        assert(ivs.count(_._6.isEmpty) == 1, s"seed=$seed $k open-interval count")
+        // same-ts distinct values yield degenerate [t, t) runs that share
+        // valid_from — the open interval (None → MaxValue) sorts last
+        val sorted = ivs.toSeq.sortBy(x => (x._5, x._6.getOrElse(Long.MaxValue)))
+        sorted.sliding(2).foreach {
+          case Seq(a, b) => assert(a._6.contains(b._5), s"seed=$seed $k gap")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("schemaGraph: quotient summary == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(61, 62, 63)) {
+      val rows = randomFullTriples(seed, nodes = 20, edges = 300, sameAs = 5)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue",
+        "objDatatype", "objLang", "graph")
+      val got = GraphMaterialize.schemaGraph(df)
+        .as[(String, String, String, Long)].collect().toSet
+
+      val cs = rows.groupBy(_._1).map { case (s, rs) =>
+        s -> rs.map(_._2).distinct.sorted.mkString("|")
+      }
+      val expect = rows
+        .collect { case (s, p, k, o, _, _, _) if k == 0 || k == 1 =>
+          (cs(s), p, cs.getOrElse(o, "(leaf)"))
+        }
+        .groupBy(identity).map { case (e, xs) => (e._1, e._2, e._3, xs.size.toLong) }
+        .toSet
+      assert(got == expect, s"seed=$seed")
+      // edge mass is conserved: summary counts add up to the edge count
+      assert(got.toSeq.map(_._4).sum ==
+        rows.count(x => x._3 == 0 || x._3 == 1), s"seed=$seed")
+    }
+  }
+
   test("characteristicSets: distributed census == sequential reference") {
     import spark.implicits._
     for (seed <- Seq(41, 42, 43)) {
