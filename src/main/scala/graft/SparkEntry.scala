@@ -500,6 +500,30 @@ object SparkEntry {
         .groupBy(col("subj_canon")).agg(count(lit(1)).as("n"))
         .orderBy(col("subj_canon"))
     }),
+    // delta application (incremental maintenance): the inverse identity
+    // applyDelta(a, snapshotDelta(a, b)) == b, with b an independently
+    // perturbed snapshot; the oracle computes DISTINCT b directly, so
+    // the whole delta+apply machinery must reconstruct it exactly
+    "q_kg_applydelta" -> ((s, dir) => {
+      val a = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+      val b = a.filter(!(col("objKind") === 2 && length(col("objValue")) % 7 === 0))
+        .unionByName(
+          a.filter(col("objKind") === 2 && length(col("subj")) % 5 === 0)
+            .withColumn("objValue", concat(col("objValue"), lit(" v2"))))
+      GraphMaterialize.applyDelta(a, GraphMaterialize.snapshotDelta(a, b))
+        .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
+          col("objDatatype").asc_nulls_first, col("objLang").asc_nulls_first,
+          col("graph"))
+    }),
+    // corrupt-tail negative sampling over dense entity ids (KG-embedding
+    // training prep): the affine-stride surrogate keeps every sample
+    // SQL-reproducible — the oracle recomputes ids via row_number over
+    // sorted entities, replays the stride, and anti-joins true edges
+    "q_kg_negatives" -> ((s, dir) => {
+      val t = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+      GraphTrain.negativeSamples(t, GraphTrain.denseEntityIds(t), k = 3)
+        .orderBy(col("subj"), col("pred"), col("obj"), col("i"), col("neg_obj"))
+    }),
     // temporal validity intervals (SCD2 over crawl re-observations): a
     // deterministic 3-version history is synthesized over the functional
     // schema:name predicate and collapsed into [valid_from, valid_to)
@@ -1238,6 +1262,48 @@ object SparkEntry {
         |SELECT coalesce(lm.entity, tr.subj) AS subj_canon, count(*) AS n
         |FROM tr LEFT JOIN lm ON tr.subj = lm.subj
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_applydelta" ->
+      """WITH a AS (
+        |  SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |b AS (
+        |  SELECT * FROM a WHERE NOT (objKind = 2 AND length(objValue) % 7 = 0)
+        |  UNION ALL
+        |  SELECT subj, pred, objKind, objValue || ' v2',
+        |    objDatatype, objLang, graph
+        |  FROM a WHERE objKind = 2 AND length(subj) % 5 = 0)
+        |SELECT DISTINCT * FROM b
+        |ORDER BY subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
+    "q_kg_negatives" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objKind, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |ents AS (
+        |  SELECT DISTINCT entity FROM (
+        |    SELECT subj AS entity FROM tr
+        |    UNION ALL
+        |    SELECT objValue FROM tr WHERE objKind IN (0, 1))),
+        |ids AS (
+        |  SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS id
+        |  FROM ents),
+        |edges AS (
+        |  SELECT DISTINCT subj, pred, objValue FROM tr WHERE objKind IN (0, 1)),
+        |cand AS (
+        |  SELECT e.subj, e.pred, e.objValue AS obj, CAST(i.i AS INT) AS i,
+        |    (s.id + (i.i + 1) * 2654435761 + length(e.pred) * 97)
+        |      % (SELECT count(*) FROM ids) AS neg_id
+        |  FROM edges e
+        |  JOIN ids s ON s.entity = e.subj
+        |  CROSS JOIN (SELECT unnest(range(3)) AS i) i),
+        |negs AS (
+        |  SELECT c.subj, c.pred, c.obj, t.entity AS neg_obj, c.i
+        |  FROM cand c JOIN ids t ON t.id = c.neg_id)
+        |SELECT n.subj, n.pred, n.obj, n.neg_obj, n.i
+        |FROM negs n
+        |ANTI JOIN edges e
+        |  ON e.subj = n.subj AND e.pred = n.pred AND e.objValue = n.neg_obj
+        |ORDER BY subj, pred, obj, i, neg_obj""".stripMargin,
     "q_kg_intervals" ->
       """WITH base AS (
         |  SELECT subj, pred, objKind, objValue,

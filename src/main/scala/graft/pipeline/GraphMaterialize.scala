@@ -634,6 +634,27 @@ object GraphMaterialize {
     * all-null entities. Generated distributed (spark.range — no driver
     * data) and deterministic, so the DuckDB oracle can re-derive the links
     * from the persisted parquet copy (AuxTables `big_dict`). */
+  /** Apply a change set produced by [[snapshotDelta]] (or any upsert
+    * feed with a `change` column of `added`/`removed` rows): the
+    * maintenance half of incremental KG construction — a new crawl's
+    * delta updates the materialized snapshot without rebuilding it.
+    * Set semantics throughout (a graph is a set of triples): removals
+    * are null-safe EXCEPTs, additions union in deduplicated. Inverse
+    * identity (oracle-checked): applyDelta(a, snapshotDelta(a, b)) is
+    * exactly `b` as a set.
+    *
+    * Scale shape: EXCEPT and the final distinct are aggregations keyed
+    * by the full row — at production scale both sides are bucketed by
+    * subj so the exchange co-locates; removals are delta-sized, not
+    * corpus-sized. */
+  def applyDelta(base: DataFrame, delta: DataFrame): DataFrame = {
+    val cols = Seq("subj", "pred", "objKind", "objValue",
+      "objDatatype", "objLang", "graph").map(col)
+    val adds = delta.filter(col("change") === "added").select(cols: _*)
+    val dels = delta.filter(col("change") === "removed").select(cols: _*)
+    base.select(cols: _*).except(dels).unionByName(adds).distinct()
+  }
+
   def bigDictionary(spark: SparkSession, perKind: Int = 65536): DataFrame = {
     val kinds = Seq("Product" -> "product", "Org" -> "org", "Person" -> "person",
       "Child" -> "child", "Anon" -> "anon")

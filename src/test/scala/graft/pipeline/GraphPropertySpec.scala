@@ -212,6 +212,77 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("applyDelta inverts snapshotDelta on random snapshot pairs") {
+    import spark.implicits._
+    for (seed <- Seq(71, 72, 73)) {
+      val a = randomFullTriples(seed, nodes = 25, edges = 250, sameAs = 5)
+      val b = randomFullTriples(seed + 100, nodes = 25, edges = 230, sameAs = 3)
+      val cols = Seq("subj", "pred", "objKind", "objValue",
+        "objDatatype", "objLang", "graph")
+      val da = a.toDF(cols: _*)
+      val db = b.toDF(cols: _*)
+      val got = GraphMaterialize.applyDelta(
+        da, GraphMaterialize.snapshotDelta(da, db))
+        .as[(String, String, Byte, String, Option[String], Option[String], String)]
+        .collect().toSet
+      val expect = b.map { case (s, p, k, o, dt, lg, g) =>
+        (s, p, k, o, Option(dt), Option(lg), g)
+      }.toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("denseEntityIds: bijection onto 0..n-1 in entity sort order") {
+    import spark.implicits._
+    for (seed <- Seq(81, 82); parts <- Seq(1, 7)) {
+      val rows = randomFullTriples(seed, nodes = 30, edges = 200, sameAs = 8)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue",
+        "objDatatype", "objLang", "graph")
+      val got = GraphTrain.denseEntityIds(df, partitions = parts)
+        .as[(String, Long)].collect().toMap
+      val ents = (rows.map(_._1) ++
+        rows.collect { case (_, _, k, o, _, _, _) if k == 0 || k == 1 => o })
+        .distinct.sorted
+      val expect = ents.zipWithIndex.map { case (e, i) => e -> i.toLong }.toMap
+      assert(got == expect, s"seed=$seed parts=$parts")
+    }
+  }
+
+  test("negativeSamples: distributed sampling == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(91, 92, 93)) {
+      val rows = randomFullTriples(seed, nodes = 20, edges = 180, sameAs = 4)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue",
+        "objDatatype", "objLang", "graph")
+      val k = 3
+      val got = GraphTrain.negativeSamples(df, GraphTrain.denseEntityIds(df, 5), k)
+        .as[(String, String, String, String, Int)].collect().toSet
+
+      val ents = (rows.map(_._1) ++
+        rows.collect { case (_, _, kk, o, _, _, _) if kk == 0 || kk == 1 => o })
+        .distinct.sorted
+      val id = ents.zipWithIndex.map { case (e, i) => e -> i.toLong }.toMap
+      val n = ents.size.toLong
+      val edges = rows.collect {
+        case (s, p, kk, o, _, _, _) if kk == 0 || kk == 1 => (s, p, o)
+      }.distinct
+      val trueSet = edges.toSet
+      val expect = (for {
+        (s, p, o) <- edges
+        i <- 0 until k
+      } yield {
+        val negId = (id(s) + (i + 1) * 2654435761L + p.length * 97L) % n
+        (s, p, o, ents(negId.toInt), i)
+      }).filterNot(x => trueSet.contains((x._1, x._2, x._4))).toSet
+      assert(got == expect, s"seed=$seed")
+      // no emitted negative is a true edge; stride bound holds
+      got.foreach { case (s, p, _, neg, i) =>
+        assert(!trueSet.contains((s, p, neg)), s"seed=$seed true edge leaked")
+        assert(i >= 0 && i < k, s"seed=$seed bad i=$i")
+      }
+    }
+  }
+
   test("characteristicSets: distributed census == sequential reference") {
     import spark.implicits._
     for (seed <- Seq(41, 42, 43)) {

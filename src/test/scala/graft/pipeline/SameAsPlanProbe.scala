@@ -8,7 +8,8 @@ object SameAsPlanProbe {
     val spark = SparkTestBase.spark
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.maxMetadataStringLength", "500")
-    for (q <- Seq("q_kg_sameas", "q_kg_charsets", "q_kg_intervals", "q_kg_schemagraph")) {
+    for (q <- Seq("q_kg_sameas", "q_kg_charsets", "q_kg_intervals",
+        "q_kg_schemagraph", "q_kg_applydelta", "q_kg_negatives")) {
       println(s"========== $q ==========")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       df.explain("formatted")
