@@ -500,6 +500,29 @@ object SparkEntry {
         .groupBy(col("subj_canon")).agg(count(lit(1)).as("n"))
         .orderBy(col("subj_canon"))
     }),
+    // per-entity feature table (GNN node features): out/in degree,
+    // distinct preds, literal attributes, deterministic primary type —
+    // every signal recomputed by the oracle with plain SQL aggregates
+    "q_kg_entity_features" -> ((s, dir) =>
+      GraphTrain.entityFeatures(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("entity"))),
+    // aggregation over BGP variable bindings (SPARQL GROUP BY): events
+    // per location with distinct performer counts — demonstrates the
+    // matcher's bindings frame composing with plain Spark aggregation
+    "q_kg_bgp_agg" -> ((s, dir) => {
+      import GraphQuery._
+      val bindings = matchBgp(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        Seq(
+          TriplePattern(V("e"), C(Rdf.Type), C("http://schema.org/Event")),
+          TriplePattern(V("e"), C("http://schema.org/location"), V("loc")),
+          TriplePattern(V("e"), C("http://schema.org/performer"), V("perf"))))
+      bindings.groupBy(col("loc"))
+        .agg(countDistinct(col("e")).as("n_events"),
+          countDistinct(col("perf")).as("n_performers"))
+        .orderBy(col("loc"))
+    }),
     // delta application (incremental maintenance): the inverse identity
     // applyDelta(a, snapshotDelta(a, b)) == b, with b an independently
     // perturbed snapshot; the oracle computes DISTINCT b directly, so
@@ -1262,6 +1285,42 @@ object SparkEntry {
         |SELECT coalesce(lm.entity, tr.subj) AS subj_canon, count(*) AS n
         |FROM tr LEFT JOIN lm ON tr.subj = lm.subj
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_entity_features" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objKind, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |s AS (
+        |  SELECT subj AS entity, count(*) AS out_deg,
+        |    count(DISTINCT pred) AS n_preds,
+        |    CAST(sum(CASE WHEN objKind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lit,
+        |    min(CASE WHEN pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |          AND objKind = 0 THEN objValue END) AS primary_type
+        |  FROM tr GROUP BY subj),
+        |o AS (
+        |  SELECT objValue AS entity, count(*) AS in_deg
+        |  FROM tr WHERE objKind IN (0, 1) GROUP BY objValue)
+        |SELECT coalesce(s.entity, o.entity) AS entity,
+        |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg,
+        |  coalesce(n_preds, 0) AS n_preds, coalesce(n_lit, 0) AS n_lit,
+        |  primary_type
+        |FROM s FULL OUTER JOIN o ON s.entity = o.entity
+        |ORDER BY entity""".stripMargin,
+    "q_kg_bgp_agg" ->
+      """WITH tr AS (
+        |  SELECT subj, pred, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |ev AS (
+        |  SELECT subj AS e FROM tr
+        |  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |    AND objValue = 'http://schema.org/Event'),
+        |bind AS (
+        |  SELECT ev.e, l.objValue AS loc, p.objValue AS perf
+        |  FROM ev
+        |  JOIN tr l ON l.subj = ev.e AND l.pred = 'http://schema.org/location'
+        |  JOIN tr p ON p.subj = ev.e AND p.pred = 'http://schema.org/performer')
+        |SELECT loc, count(DISTINCT e) AS n_events,
+        |  count(DISTINCT perf) AS n_performers
+        |FROM bind GROUP BY loc ORDER BY loc""".stripMargin,
     "q_kg_applydelta" ->
       """WITH a AS (
         |  SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph

@@ -51,6 +51,34 @@ object GraphTrain {
       .select(col("entity"), (col("offset") + col("rank")).as("id"))
   }
 
+  /** Per-entity feature table for graph-ML training (GNN node features,
+    * embedding-model side inputs): out-degree, in-degree, distinct
+    * predicate count, literal-attribute count, and the deterministic
+    * primary type (min rdf:type IRI; null when untyped). Covers every
+    * node — subjects AND object-only leaves.
+    *
+    * Scale shape: two keyed aggregations (by subj, by object node) and
+    * one full-outer merge keyed by entity — all partial-agg friendly,
+    * nothing collected, output is entity-sized. */
+  def entityFeatures(triples: DataFrame): DataFrame = {
+    val typePred = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val subjSide = triples.groupBy(col("subj").as("entity")).agg(
+      count(lit(1)).as("out_deg"),
+      countDistinct(col("pred")).as("n_preds"),
+      sum(when(col("objKind") === 2, 1L).otherwise(0L)).as("n_lit"),
+      min(when(col("pred") === typePred && col("objKind") === 0,
+        col("objValue"))).as("primary_type"))
+    val objSide = triples.filter(col("objKind").isin(0, 1))
+      .groupBy(col("objValue").as("entity")).agg(count(lit(1)).as("in_deg"))
+    subjSide.join(objSide, Seq("entity"), "full_outer")
+      .select(col("entity"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_preds"), lit(0L)).as("n_preds"),
+        coalesce(col("n_lit"), lit(0L)).as("n_lit"),
+        col("primary_type"))
+  }
+
   /** Corrupt-tail negative samples: every true node-to-node edge
     * (subj, pred, obj) is paired with k candidate corrupt tails by
     * striding the dense id space —

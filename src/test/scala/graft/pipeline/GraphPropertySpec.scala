@@ -283,6 +283,39 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("entityFeatures: feature table == sequential reference") {
+    import spark.implicits._
+    val typePred = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    for (seed <- Seq(101, 102)) {
+      val r = new Random(seed)
+      val base = randomFullTriples(seed, nodes = 20, edges = 200, sameAs = 4)
+      // weave in type assertions so primary_type has real ties to break
+      val typed = base ++ (0 until 30).map { _ =>
+        (s"n${r.nextInt(20)}", typePred, 0.toByte, s"T${r.nextInt(3)}",
+          null: String, null: String, "@default")
+      }
+      val df = typed.toDF("subj", "pred", "objKind", "objValue",
+        "objDatatype", "objLang", "graph")
+      val got = GraphTrain.entityFeatures(df)
+        .as[(String, Long, Long, Long, Long, Option[String])].collect().toSet
+
+      val subjAgg = typed.groupBy(_._1).map { case (s, rs) =>
+        s -> (rs.size.toLong, rs.map(_._2).distinct.size.toLong,
+          rs.count(_._3 == 2).toLong,
+          rs.collect { case (_, p, k, o, _, _, _) if p == typePred && k == 0 => o }
+            .sorted.headOption)
+      }
+      val inDeg = typed.filter(x => x._3 == 0 || x._3 == 1)
+        .groupBy(_._4).map { case (o, rs) => o -> rs.size.toLong }
+      val allEnts = subjAgg.keySet ++ inDeg.keySet
+      val expect = allEnts.map { e =>
+        val (od, np, nl, pt) = subjAgg.getOrElse(e, (0L, 0L, 0L, None))
+        (e, od, inDeg.getOrElse(e, 0L), np, nl, pt)
+      }
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("characteristicSets: distributed census == sequential reference") {
     import spark.implicits._
     for (seed <- Seq(41, 42, 43)) {
