@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Subject-bucketed storage for the materialized KG tables — the
+  * concrete form of the claim the plan audits make throughout
+  * BENCH/PLANS.md ("bucketed by subj at production scale, the join
+  * co-locates"): write the triples/adjacency/entity tables bucketed and
+  * sorted by their join key, and every subj-keyed join between them
+  * (entity linking, closure extension, delta application, adjacency
+  * probes) reads pre-partitioned, pre-sorted buckets — ZERO exchanges,
+  * ZERO sorts at query time. BucketedJoinSpec asserts exactly that on
+  * the physical plan, with broadcast disabled so the test can't pass by
+  * dodging the shuffle.
+  *
+  * Bucket-count discipline at 100 TB: both sides of a co-located join
+  * must use the SAME bucket count (Spark requires it to elide the
+  * exchange), so the count is an argument with one shared default
+  * rather than a per-table choice. Buckets also bound task input size:
+  * at 10^12 triples choose the count so one bucket's largest table
+  * slice fits a task (e.g. 2^14 buckets ≈ 60M triples/bucket), then
+  * every downstream self-join inherits the layout.
+  */
+object BucketedStore {
+
+  val DefaultBuckets = 16
+
+  /** Write `df` as an external bucketed+sorted table at `path`,
+    * registered as `table` in the session catalog (bucketed reads
+    * require catalog metadata — a bare parquet path loses the bucket
+    * spec; this is Spark's contract, not a limitation of the layout). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int = DefaultBuckets): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a bucketed table back (by catalog name — see [[writeBucketed]]
+    * on why the name, not the path, carries the bucket layout). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}
