@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5d"
+  private val Version = "r5e"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -102,6 +102,12 @@ object AuxTables {
     TripleEmit.pipeline(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8),
         normalizeBNodes = true)
       .toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/triples_norm")
+    // 1a. provenance emission: every raw (pre-dedup) triple with its
+    //     source url — the per-triple source table q_kg_provenance
+    //     aggregates (its distinct triple projection equals `triples`;
+    //     ProvenanceSpec asserts it)
+    TripleEmit.triplesWithSource(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/triples_prov")
 
     // 2. hub dictionary (surface -> canonical entity IRI) and the large
     //    corpus-aligned dictionary for the cold-tail link path

@@ -500,6 +500,15 @@ object SparkEntry {
         .groupBy(col("subj_canon")).agg(count(lit(1)).as("n"))
         .orderBy(col("subj_canon"))
     }),
+    // per-triple provenance: distinct source pages per deduplicated
+    // triple + deterministic first source, aggregated from the persisted
+    // provenance emission; the oracle recomputes the same aggregation
+    "q_kg_provenance" -> ((s, dir) =>
+      TripleEmit.provenance(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples_prov"))
+        .orderBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
+          col("objDatatype").asc_nulls_first, col("objLang").asc_nulls_first,
+          col("graph"))),
     // per-entity feature table (GNN node features): out/in degree,
     // distinct preds, literal attributes, deterministic primary type —
     // every signal recomputed by the oracle with plain SQL aggregates
@@ -1285,6 +1294,13 @@ object SparkEntry {
         |SELECT coalesce(lm.entity, tr.subj) AS subj_canon, count(*) AS n
         |FROM tr LEFT JOIN lm ON tr.subj = lm.subj
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_provenance" ->
+      """SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph,
+        |  count(DISTINCT url) AS n_sources, min(url) AS first_url
+        |FROM read_parquet('{AUX}/triples_prov/*.parquet')
+        |GROUP BY subj, pred, objKind, objValue, objDatatype, objLang, graph
+        |ORDER BY subj, pred, objKind, objValue,
+        |  objDatatype NULLS FIRST, objLang NULLS FIRST, graph""".stripMargin,
     "q_kg_entity_features" ->
       """WITH tr AS (
         |  SELECT subj, pred, objKind, objValue

@@ -149,6 +149,50 @@ object TripleEmit {
     ts
   }
 
+  /** The fused narrow stage with each emitted triple carrying its source
+    * url — the provenance emission. Same single-decode extraction as
+    * [[triplesFused]], one extra string column, still zero shuffles;
+    * the per-triple source table this produces is what
+    * [[provenance]] aggregates (and at production scale the artifact
+    * you'd persist bucketed by subj next to the deduplicated triples). */
+  def triplesWithSource(pages: Dataset[Page],
+      contextCache: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.flatMap { page =>
+      val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
+      val blocks = Extract.scriptBlocksTolerant(html)
+      val micro = Extract.microdataBlocks(html)
+      val docs =
+        blocks.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, i, p, "jsonld") } ++
+          micro.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, blocks.size + i, p, "microdata") }
+      docs.flatMap { doc =>
+        docToTriples(doc, normalizeBNodes = false, null, contextCache) match {
+          case Right(ts) => ts.map(t => (page.url, t.subj, t.pred, t.objKind,
+            t.objValue, t.objDatatype, t.objLang, t.graph))
+          case Left(_) => Vector.empty
+        }
+      }
+    }.toDF("url", "subj", "pred", "objKind", "objValue",
+      "objDatatype", "objLang", "graph")
+  }
+
+  /** Per-triple provenance: how many distinct pages assert each
+    * deduplicated triple, and the deterministic first source (min url).
+    * The answer to "where did this fact come from" — the triple-level
+    * completion of the partition-level lineage the resumable job keeps.
+    *
+    * Scale shape: one aggregation keyed by the 7 triple columns; the
+    * distinct-url count is Spark's standard two-phase distinct agg,
+    * partial map-side. */
+  def provenance(withSource: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    withSource
+      .groupBy(col("subj"), col("pred"), col("objKind"), col("objValue"),
+        col("objDatatype"), col("objLang"), col("graph"))
+      .agg(countDistinct(col("url")).as("n_sources"),
+        min(col("url")).as("first_url"))
+  }
+
   /** Single-pass keyed emit for the resumable job: the same fused narrow
     * stage, but every output row carries the page's lineage partition key
     * and quarantine rows ride along as kind=1 instead of being recomputed
