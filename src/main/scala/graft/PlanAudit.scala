@@ -42,7 +42,8 @@ object PlanAudit {
       "q_kg_bgp", "q_kg_bgp_opt", "q_kg_closure", "q_kg_validate",
       "q_kg_rdfs", "q_kg_construct", "q_kg_sameas", "q_kg_charsets",
       "q_kg_intervals", "q_kg_schemagraph", "q_kg_applydelta", "q_kg_negatives",
-      "q_kg_entity_features", "q_kg_bgp_agg", "q_kg_provenance")
+      "q_kg_entity_features", "q_kg_bgp_agg", "q_kg_provenance",
+      "q_kg_entitymatch")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

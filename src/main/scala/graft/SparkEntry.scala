@@ -500,6 +500,20 @@ object SparkEntry {
         .groupBy(col("subj_canon")).agg(count(lit(1)).as("n"))
         .orderBy(col("subj_canon"))
     }),
+    // dictionary-free entity resolution: name-blocked candidate pairs
+    // scored by literal-attribute Jaccard over a corpus with planted
+    // partial duplicates (subj#dup clones carrying ~75% of attributes);
+    // the integer-arithmetic threshold keeps the cut engine-exact, and
+    // on this corpus the 24 survivors are exactly the planted clones
+    "q_kg_entitymatch" -> ((s, dir) => {
+      val base = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+        .select(col("subj"), col("pred"), col("objKind"), col("objValue"))
+      val dups = base.filter(col("objKind") === 2 &&
+          length(col("subj")) % 3 === 0 && length(col("objValue")) % 4 =!= 0)
+        .withColumn("subj", concat(col("subj"), lit("#dup")))
+      EntityResolve.discoverEquivalences(base.unionByName(dups))
+        .orderBy(col("a"), col("b"))
+    }),
     // per-triple provenance: distinct source pages per deduplicated
     // triple + deterministic first source, aggregated from the persisted
     // provenance emission; the oracle recomputes the same aggregation
@@ -1294,6 +1308,46 @@ object SparkEntry {
         |SELECT coalesce(lm.entity, tr.subj) AS subj_canon, count(*) AS n
         |FROM tr LEFT JOIN lm ON tr.subj = lm.subj
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kg_entitymatch" ->
+      """WITH base AS (
+        |  SELECT subj, pred, objKind, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |tr AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT subj || '#dup', pred, objKind, objValue FROM base
+        |  WHERE objKind = 2 AND length(subj) % 3 = 0
+        |    AND length(objValue) % 4 <> 0),
+        |names AS (
+        |  SELECT DISTINCT subj AS entity, lower(objValue) AS block FROM tr
+        |  WHERE pred = 'http://schema.org/name' AND objKind = 2),
+        |ok AS (
+        |  SELECT block FROM (SELECT block, count(*) bn FROM names GROUP BY block)
+        |  WHERE bn > 1 AND bn <= 64),
+        |blocked AS (SELECT n.* FROM names n JOIN ok USING (block)),
+        |pairs AS (
+        |  SELECT x.entity AS a, y.entity AS b FROM blocked x JOIN blocked y
+        |  ON x.block = y.block AND x.entity < y.entity),
+        |attrs AS (
+        |  SELECT DISTINCT subj AS entity, pred, objValue FROM tr
+        |  WHERE objKind = 2 AND pred <> 'http://schema.org/name'),
+        |sizes AS (SELECT entity, count(*) AS na FROM attrs GROUP BY entity),
+        |shared AS (
+        |  SELECT p.a, p.b, count(*) AS sh FROM pairs p
+        |  JOIN attrs x ON x.entity = p.a
+        |  JOIN attrs y ON y.entity = p.b
+        |    AND y.pred = x.pred AND y.objValue = x.objValue
+        |  GROUP BY p.a, p.b),
+        |scored AS (
+        |  SELECT p.a, p.b, coalesce(sh, 0) AS sh,
+        |    coalesce(ca.na, 0) + coalesce(cb.na, 0) - coalesce(sh, 0) AS uni
+        |  FROM pairs p
+        |  LEFT JOIN shared s ON s.a = p.a AND s.b = p.b
+        |  LEFT JOIN sizes ca ON ca.entity = p.a
+        |  LEFT JOIN sizes cb ON cb.entity = p.b)
+        |SELECT a, b, sh AS shared, round(sh * 1.0 / uni, 4) AS jaccard
+        |FROM scored WHERE uni > 0 AND sh * 2 >= uni
+        |ORDER BY a, b""".stripMargin,
     "q_kg_provenance" ->
       """SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph,
         |  count(DISTINCT url) AS n_sources, min(url) AS first_url
