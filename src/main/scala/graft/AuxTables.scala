@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5e"
+  private val Version = "r5f"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -97,17 +97,19 @@ object AuxTables {
     //    the same corpus with per-doc blank-node canonicalization ON
     //    (doc-key-prefixed _:c14n* labels), so the distributed C17 path
     //    has a driver-checkable read-path oracle (VERDICT r3 #4)
-    val triples = TripleEmit.pipeline(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8))
-    triples.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/triples")
+    // The provenance emission is written first and `triples` is its
+    // distinct 7-column projection (equal to pipeline() by construction —
+    // ProvenanceSpec asserts it), so the corpus is extracted TWICE
+    // (default + normalizeBNodes), not three times (review r5).
+    TripleEmit.triplesWithSource(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/triples_prov")
+    spark.read.parquet(s"$d/triples_prov")
+      .select("subj", "pred", "objKind", "objValue", "objDatatype", "objLang", "graph")
+      .distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/triples")
     TripleEmit.pipeline(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8),
         normalizeBNodes = true)
       .toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/triples_norm")
-    // 1a. provenance emission: every raw (pre-dedup) triple with its
-    //     source url — the per-triple source table q_kg_provenance
-    //     aggregates (its distinct triple projection equals `triples`;
-    //     ProvenanceSpec asserts it)
-    TripleEmit.triplesWithSource(PageGen.pages(spark, KgPages, seed = 42L, partitions = 8))
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/triples_prov")
 
     // 2. hub dictionary (surface -> canonical entity IRI) and the large
     //    corpus-aligned dictionary for the cold-tail link path

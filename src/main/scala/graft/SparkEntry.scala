@@ -1326,7 +1326,8 @@ object SparkEntry {
         |  WHERE bn > 1 AND bn <= 64),
         |blocked AS (SELECT n.* FROM names n JOIN ok USING (block)),
         |pairs AS (
-        |  SELECT x.entity AS a, y.entity AS b FROM blocked x JOIN blocked y
+        |  SELECT DISTINCT x.entity AS a, y.entity AS b
+        |  FROM blocked x JOIN blocked y
         |  ON x.block = y.block AND x.entity < y.entity),
         |attrs AS (
         |  SELECT DISTINCT subj AS entity, pred, objValue FROM tr
@@ -1486,7 +1487,8 @@ object SparkEntry {
         |  SELECT * FROM read_parquet('{AUX}/triples/*.parquet')),
         |se AS (
         |  SELECT subj AS x, objValue AS y FROM tr
-        |  WHERE pred = 'http://schema.org/sameAs' AND objKind = 0 AND subj <> objValue),
+        |  WHERE pred = 'http://schema.org/sameAs' AND objKind = 0
+        |    AND subj <> objValue AND left(subj, 2) <> '_:'),
         |edges AS (SELECT x, y FROM se UNION SELECT y, x FROM se),
         |reach(x, y) AS (
         |  SELECT x, y FROM edges

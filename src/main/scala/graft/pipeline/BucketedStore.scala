@@ -13,6 +13,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * the physical plan, with broadcast disabled so the test can't pass by
   * dodging the shuffle.
   *
+  * Sort elision needs two opt-ins beyond the bucket layout (both
+  * spec-verified): one FILE per bucket (the writer repartitions by the
+  * bucket hash to guarantee it) and
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (since
+  * Spark 3.0 a bucketed scan doesn't report sort order by default —
+  * safe to enable when buckets are single-file, as here).
+  *
   * Bucket-count discipline at 100 TB: both sides of a co-located join
   * must use the SAME bucket count (Spark requires it to elide the
   * exchange), so the count is an argument with one shared default
@@ -28,10 +35,20 @@ object BucketedStore {
   /** Write `df` as an external bucketed+sorted table at `path`,
     * registered as `table` in the session catalog (bucketed reads
     * require catalog metadata — a bare parquet path loses the bucket
-    * spec; this is Spark's contract, not a limitation of the layout). */
+    * spec; this is Spark's contract, not a limitation of the layout).
+    *
+    * The pre-write `repartition(buckets, key)` matters: every writer
+    * task otherwise emits its own file per bucket, and Spark only
+    * trusts a bucket's SORT order when the bucket is a single file —
+    * multi-file buckets keep the co-partitioning (no exchange) but
+    * re-sort both join sides at read time (caught by the
+    * BucketedJoinSpec sort assertion after review r5 fixed it).
+    * Repartitioning by the bucket hash gives one writer — one file —
+    * per bucket, so joins elide the sorts too. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int = DefaultBuckets): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -61,6 +61,12 @@ object EntityResolve {
       .join(blocked.as("y"),
         col("x.block") === col("y.block") && col("x.entity") < col("y.entity"))
       .select(col("x.entity").as("a"), col("y.entity").as("b"))
+      // entities sharing SEVERAL name literals (multilingual labels) meet
+      // once per shared block — without the dedup the score join counts
+      // every shared attribute once per meeting, inflating `shared` past
+      // the set size and driving uni = ca+cb-shared to 0, which silently
+      // DROPS exact duplicates (review r5: empirically demonstrated)
+      .distinct()
       .localCheckpoint(true) // read by the score join AND the final assembly
     val attrs = triples.filter(col("objKind") === 2 && col("pred") =!= namePred)
       .select(col("subj").as("entity"), col("pred"), col("objValue"))

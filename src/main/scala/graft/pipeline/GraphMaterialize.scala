@@ -155,9 +155,14 @@ object GraphMaterialize {
     *    broadcast-hinted: at web scale a sameAs dictionary can be 10^8
     *    rows (cross-wiki links), so the build side is left to AQE, which
     *    broadcasts when it fits and shuffles when it doesn't;
-    *  - object rewrite applies only to IRI objects (objKind 0) — bnode
-    *    labels and literals can never equal a mapped IRI, and the `when`
-    *    guard keeps the semantics explicit anyway.
+    *  - equivalence edges are IRI↔IRI only: a bnode SUBJECT asserting
+    *    sameAs (a microdata item without @id) is excluded, because a
+    *    bnode can win the min-representative race ("_" sorts before
+    *    every IRI scheme letter) and then IRI-kind rows would carry a
+    *    blank-node label while objKind=1 references to the merged-away
+    *    bnode dangle (review r5). The mapping therefore contains IRIs
+    *    only, and the object rewrite applies only to IRI objects
+    *    (objKind 0) — now genuinely safe, not just asserted.
     *
     * Eager by contract (components iterate), like [[hubScores]]. */
   def sameAsMerge(triples: DataFrame,
@@ -165,7 +170,8 @@ object GraphMaterialize {
       maxIter: Int = 20): DataFrame = {
     val edges = triples
       .filter(col("pred") === sameAsPred && col("objKind") === 0 &&
-        col("subj") =!= col("objValue"))
+        col("subj") =!= col("objValue") &&
+        !col("subj").startsWith("_:"))
       .select(col("subj").as("a"), col("objValue").as("b"))
       .distinct()
     val mapping = graft.ops.DedupOps.dedupComponents(edges, maxIter)
@@ -199,11 +205,19 @@ object GraphMaterialize {
     * keyed by the set fingerprint whose cardinality is the number of
     * distinct shapes (thousands at web scale). No row ever carries more
     * than one subject's predicate set. */
-  def characteristicSets(triples: DataFrame): DataFrame =
+  /** subject → characteristic-set fingerprint ("|"-joined sorted distinct
+    * predicates) plus the subject's triple count. The fingerprint format
+    * is load-bearing for BOTH [[characteristicSets]] and [[schemaGraph]]
+    * (and mirrored in their DuckDB oracles) — one definition, two
+    * consumers. */
+  private def csBySubject(triples: DataFrame): DataFrame =
     triples
       .groupBy(col("subj"))
       .agg(concat_ws("|", sort_array(collect_set(col("pred")))).as("cs"),
         count(lit(1)).as("nt"))
+
+  def characteristicSets(triples: DataFrame): DataFrame =
+    csBySubject(triples)
       .groupBy(col("cs"))
       .agg(count(lit(1)).as("n_subjects"), sum(col("nt")).as("n_triples"))
 
@@ -271,9 +285,7 @@ object GraphMaterialize {
     * agg partial map-side. Nothing collects; the only small frame is
     * the output itself. */
   def schemaGraph(triples: DataFrame): DataFrame = {
-    val csMap = triples
-      .groupBy(col("subj"))
-      .agg(concat_ws("|", sort_array(collect_set(col("pred")))).as("cs"))
+    val csMap = csBySubject(triples).select(col("subj"), col("cs"))
       // computed ONCE: the two endpoint joins push different filters
       // (inner adds isnotnull(subj), left outer doesn't) into otherwise-
       // identical agg subtrees, which defeats ReusedExchange — without
@@ -626,14 +638,6 @@ object GraphMaterialize {
       .unionByName(b.except(a).withColumn("change", lit("removed")))
   }
 
-  /** Deliberately LARGE dictionary for the cold-tail path: the hub head
-    * plus `perKind`×5 generated tail entries whose surfaces align with the
-    * corpus' actual name literals ("Product N", "Org N", "Person N",
-    * "Child N", "Anon N" — PageGen.payload), so the salted sort-merge tail
-    * provably links real mentions rather than passing vacuously on
-    * all-null entities. Generated distributed (spark.range — no driver
-    * data) and deterministic, so the DuckDB oracle can re-derive the links
-    * from the persisted parquet copy (AuxTables `big_dict`). */
   /** Apply a change set produced by [[snapshotDelta]] (or any upsert
     * feed with a `change` column of `added`/`removed` rows): the
     * maintenance half of incremental KG construction — a new crawl's
@@ -655,6 +659,14 @@ object GraphMaterialize {
     base.select(cols: _*).except(dels).unionByName(adds).distinct()
   }
 
+  /** Deliberately LARGE dictionary for the cold-tail path: the hub head
+    * plus `perKind`×5 generated tail entries whose surfaces align with the
+    * corpus' actual name literals ("Product N", "Org N", "Person N",
+    * "Child N", "Anon N" — PageGen.payload), so the salted sort-merge tail
+    * provably links real mentions rather than passing vacuously on
+    * all-null entities. Generated distributed (spark.range — no driver
+    * data) and deterministic, so the DuckDB oracle can re-derive the links
+    * from the persisted parquet copy (AuxTables `big_dict`). */
   def bigDictionary(spark: SparkSession, perKind: Int = 65536): DataFrame = {
     val kinds = Seq("Product" -> "product", "Org" -> "org", "Person" -> "person",
       "Child" -> "child", "Anon" -> "anon")

@@ -128,25 +128,33 @@ object TripleEmit {
                contextCache: Map[String, String] = Map.empty): Dataset[Triple] =
     dedup(triplesFused(pages, normalizeBNodes, contextCache))
 
+  /** One page's extracted documents — THE extraction enumeration (block
+    * order, indexing, microdata offset) shared by every emit variant;
+    * a change here changes all of them together (review r5: three
+    * verbatim copies risked silent divergence). */
+  private def pageDocs(page: Page): Iterator[ExtractedDoc] = {
+    val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
+    val blocks = Extract.scriptBlocksTolerant(html)
+    val micro = Extract.microdataBlocks(html)
+    blocks.iterator.zipWithIndex.map { case (p, i) =>
+      ExtractedDoc(page.url, i, p, "jsonld")
+    } ++ micro.iterator.zipWithIndex.map { case (p, i) =>
+      ExtractedDoc(page.url, blocks.size + i, p, "microdata")
+    }
+  }
+
   /** The fused narrow stage without the dedup shuffle. */
   def triplesFused(pages: Dataset[Page], normalizeBNodes: Boolean = false,
                    contextCache: Map[String, String] = Map.empty): Dataset[Triple] = {
     import pages.sparkSession.implicits._
-    val ts = pages.flatMap { page =>
-      val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
-      val blocks = Extract.scriptBlocksTolerant(html)
-      val micro = Extract.microdataBlocks(html)
-      val docs =
-        blocks.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, i, p, "jsonld") } ++
-          micro.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, blocks.size + i, p, "microdata") }
-      docs.flatMap { doc =>
+    pages.flatMap { page =>
+      pageDocs(page).flatMap { doc =>
         docToTriples(doc, normalizeBNodes, null, contextCache) match {
           case Right(t) => t
           case Left(_)  => Vector.empty[Triple]
         }
       }
     }
-    ts
   }
 
   /** The fused narrow stage with each emitted triple carrying its source
@@ -159,13 +167,7 @@ object TripleEmit {
       contextCache: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
     import pages.sparkSession.implicits._
     pages.flatMap { page =>
-      val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
-      val blocks = Extract.scriptBlocksTolerant(html)
-      val micro = Extract.microdataBlocks(html)
-      val docs =
-        blocks.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, i, p, "jsonld") } ++
-          micro.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, blocks.size + i, p, "microdata") }
-      docs.flatMap { doc =>
+      pageDocs(page).flatMap { doc =>
         docToTriples(doc, normalizeBNodes = false, null, contextCache) match {
           case Right(ts) => ts.map(t => (page.url, t.subj, t.pred, t.objKind,
             t.objValue, t.objDatatype, t.objLang, t.graph))
@@ -202,13 +204,7 @@ object TripleEmit {
     import pages.sparkSession.implicits._
     pages.flatMap { page =>
       val key = Lineage.hostBucket(page.url)
-      val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
-      val blocks = Extract.scriptBlocksTolerant(html)
-      val micro = Extract.microdataBlocks(html)
-      val docs =
-        blocks.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, i, p, "jsonld") } ++
-          micro.iterator.zipWithIndex.map { case (p, i) => ExtractedDoc(page.url, blocks.size + i, p, "microdata") }
-      docs.flatMap { doc =>
+      pageDocs(page).flatMap { doc =>
         docToTriples(doc, normalizeBNodes, null, contextCache) match {
           case Right(ts) => ts.map(t => EmitRow(key, 0, t.subj, t.pred, t.objKind,
             t.objValue, t.objDatatype, t.objLang, t.graph, null, -1, null, null))

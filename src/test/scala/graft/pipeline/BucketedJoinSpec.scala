@@ -17,10 +17,16 @@ class BucketedJoinSpec extends AnyFunSuite {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // since Spark 3.0 a bucketed scan does not REPORT its sort order by
+    // default (multi-file buckets would make planning expensive); the
+    // writer guarantees one file per bucket, so opting back in is safe
+    // and is what lets the join elide its sorts
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try body
     finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     }
   }
 
@@ -39,18 +45,25 @@ class BucketedJoinSpec extends AnyFunSuite {
       withSmjOnly {
         val joined = BucketedStore.readBucketed(spark, "t_bucketed")
           .join(BucketedStore.readBucketed(spark, "f_bucketed"), Seq("subj"))
+        // Sort exec nodes render inside codegen spans as `*(n) Sort [...]`,
+        // so match the node itself, not a tree-prefix string (review r5:
+        // "+- Sort " never appears in codegen'd plans — vacuous assert)
+        val sortNode = "\\bSort \\[".r
         val plan = joined.queryExecution.executedPlan.toString
         assert(plan.contains("SortMergeJoin"), plan)
         assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
-        assert(!plan.contains("+- Sort "), s"bucketed join still sorts:\n$plan")
+        assert(sortNode.findFirstIn(plan).isEmpty,
+          s"bucketed join still sorts:\n$plan")
 
-        // control: the identical join over plain parquet shuffles both sides
+        // control: the identical join over plain parquet shuffles AND
+        // sorts both sides — also proves the sortNode regex detects sorts
         triples.write.mode("overwrite").parquet(s"$dir/plain_t")
         features.write.mode("overwrite").parquet(s"$dir/plain_f")
         val plainPlan = spark.read.parquet(s"$dir/plain_t")
           .join(spark.read.parquet(s"$dir/plain_f"), Seq("subj"))
           .queryExecution.executedPlan.toString
         assert(plainPlan.contains("Exchange"), plainPlan)
+        assert(sortNode.findFirstIn(plainPlan).isDefined, plainPlan)
 
         // same rows either way
         val a = joined.groupBy().agg(count(lit(1)), sum(col("score")))

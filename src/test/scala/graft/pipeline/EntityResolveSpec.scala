@@ -21,12 +21,18 @@ class EntityResolveSpec extends AnyFunSuite {
       val nm = s"Name${r.nextInt(ents / 4)}"
       val nameRow = (e, name,
         2.toByte, if (r.nextInt(5) == 0) nm.toUpperCase else nm)
+      // ~1/4 of entities carry a SECOND name literal (multilingual
+      // labels): pairs sharing both names meet in two blocks and must
+      // still count each shared attribute once (review r5 — the
+      // cross-block pair-duplication defect this corpus now exercises)
+      val secondName = if (r.nextInt(4) == 0)
+        Seq((e, name, 2.toByte, s"Alias${r.nextInt(ents / 8)}")) else Nil
       val attrs = (0 until r.nextInt(6)).map { _ =>
         (e, s"p${r.nextInt(4)}", 2.toByte, s"v${r.nextInt(8)}")
       }
       val noise = if (r.nextInt(3) == 0)
         Seq((e, "link", 0.toByte, f"e${r.nextInt(ents)}%03d")) else Nil
-      nameRow +: (attrs ++ noise)
+      (nameRow +: secondName) ++ attrs ++ noise
     }
   }
 

@@ -99,7 +99,8 @@ class GraphPropertySpec extends AnyFunSuite {
     }
     val junk = Seq(
       (s"n0", same, 2.toByte, "n1", null: String, null: String, "@default"), // literal obj: ignored
-      (s"n2", same, 0.toByte, "n2", null: String, null: String, "@default")) // self: dropped
+      (s"n2", same, 0.toByte, "n2", null: String, null: String, "@default"), // self: dropped
+      ("_:b7", same, 0.toByte, "n3", null: String, null: String, "@default")) // bnode subj: excluded (review r5)
     regular ++ eq ++ junk ++ eq.take(sameAs / 2) // duplicated assertions
   }
 
@@ -115,8 +116,10 @@ class GraphPropertySpec extends AnyFunSuite {
         .collect().toSet
 
       // sequential union-find, representative = min id in class
+      // (bnode subjects excluded, mirroring the operator — review r5)
       val eqEdges = rows.collect {
-        case (s, p, k, o, _, _, _) if p == same && k == 0 && s != o => (s, o)
+        case (s, p, k, o, _, _, _)
+          if p == same && k == 0 && s != o && !s.startsWith("_:") => (s, o)
       }
       val parent = scala.collection.mutable.Map[String, String]()
       def find(x: String): String = {
