@@ -514,6 +514,15 @@ object SparkEntry {
       EntityResolve.discoverEquivalences(base.unionByName(dups))
         .orderBy(col("a"), col("b"))
     }),
+    // random-walk corpus generation (DeepWalk-style embedding input):
+    // 2 walks x 3 steps from every node, next hop picked by the affine
+    // stride over the dst-sorted neighbor index; the oracle replays
+    // every hop with unrolled CTEs and the identical arithmetic
+    "q_kg_walks" -> ((s, dir) =>
+      GraphTrain.randomWalks(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        walksPerNode = 2, steps = 3)
+        .orderBy(col("start"), col("w"), col("step"), col("node"))),
     // per-triple provenance: distinct source pages per deduplicated
     // triple + deterministic first source, aggregated from the persisted
     // provenance emission; the oracle recomputes the same aggregation
@@ -1349,6 +1358,40 @@ object SparkEntry {
         |SELECT a, b, sh AS shared, round(sh * 1.0 / uni, 4) AS jaccard
         |FROM scored WHERE uni > 0 AND sh * 2 >= uni
         |ORDER BY a, b""".stripMargin,
+    "q_kg_walks" ->
+      """WITH tr AS (
+        |  SELECT subj, objKind, objValue
+        |  FROM read_parquet('{AUX}/triples/*.parquet')),
+        |e AS (
+        |  SELECT DISTINCT subj AS src, objValue AS dst FROM tr
+        |  WHERE objKind IN (0, 1) AND subj <> objValue),
+        |n0 AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY src) AS deg
+        |  FROM e),
+        |nbrs AS (SELECT * FROM n0 WHERE deg <= 1024),
+        |starts AS (SELECT DISTINCT src AS start FROM nbrs),
+        |w0 AS (
+        |  SELECT start, CAST(i.i AS INT) AS w, start AS node
+        |  FROM starts CROSS JOIN (SELECT unnest(range(2)) AS i) i),
+        |s1 AS (
+        |  SELECT f.start, f.w, n.dst AS node FROM w0 f JOIN nbrs n
+        |  ON n.src = f.node
+        |  AND n.idx = (f.w * 2654435761 + 1 * 40503 + length(f.node) * 97) % n.deg),
+        |s2 AS (
+        |  SELECT f.start, f.w, n.dst AS node FROM s1 f JOIN nbrs n
+        |  ON n.src = f.node
+        |  AND n.idx = (f.w * 2654435761 + 2 * 40503 + length(f.node) * 97) % n.deg),
+        |s3 AS (
+        |  SELECT f.start, f.w, n.dst AS node FROM s2 f JOIN nbrs n
+        |  ON n.src = f.node
+        |  AND n.idx = (f.w * 2654435761 + 3 * 40503 + length(f.node) * 97) % n.deg)
+        |SELECT start, w, 0 AS step, node FROM w0
+        |UNION ALL SELECT start, w, 1, node FROM s1
+        |UNION ALL SELECT start, w, 2, node FROM s2
+        |UNION ALL SELECT start, w, 3, node FROM s3
+        |ORDER BY start, w, step, node""".stripMargin,
     "q_kg_provenance" ->
       """SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph,
         |  count(DISTINCT url) AS n_sources, min(url) AS first_url

@@ -51,6 +51,56 @@ object GraphTrain {
       .select(col("entity"), (col("offset") + col("rank")).as("id"))
   }
 
+  /** Random-walk corpus generation (DeepWalk/node2vec-style input for
+    * embedding training): `walksPerNode` walks of `steps` hops from
+    * every node with outgoing edges. The next hop is the neighbor at
+    * index `(w·2654435761 + t·40503 + len(node)·97) mod degree` over the
+    * node's dst-sorted neighbor list — the deterministic-surrogate
+    * convention again (swap the affine pick for a seeded PRF in
+    * production; the stride keeps every emitted walk SQL-replayable
+    * bit-for-bit). Walks that reach a sink node (no outgoing edges, or
+    * a hub excluded by `maxDegree`) simply end early — standard
+    * truncated-walk semantics.
+    *
+    * Scale shape: the neighbor table carries a per-source index
+    * (row_number windowed BY SOURCE — per-key state is one node's
+    * degree, never corpus-sized) and is checkpointed once; each of the
+    * `steps` extensions is ONE equi-join keyed by the current node
+    * (co-located when the table is bucketed), exchanging (start, w,
+    * node) id tuples only. Output is walk-corpus-sized by construction:
+    * nodes × walksPerNode × (steps+1) rows max. */
+  def randomWalks(triples: DataFrame, walksPerNode: Int = 2, steps: Int = 3,
+      maxDegree: Int = 1024): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1, "need at least one walk and one step")
+    val edges = triples.filter(col("objKind").isin(0, 1) &&
+        col("subj") =!= col("objValue"))
+      .select(col("subj").as("src"), col("objValue").as("dst"))
+      .distinct()
+    val bySrc = Window.partitionBy(col("src"))
+    val nbrs = edges
+      .withColumn("idx", row_number().over(bySrc.orderBy(col("dst"))).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(bySrc))
+      .filter(col("deg") <= maxDegree)
+      .localCheckpoint(true) // read once per step
+    var frontier = nbrs.select(col("src").as("start")).distinct()
+      .withColumn("w", explode(array((0 until walksPerNode).map(lit): _*)))
+      .withColumn("node", col("start"))
+      .select(col("start"), col("w"), col("node"))
+    val parts = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("step", lit(0)))
+    for (t <- 1 to steps) {
+      frontier = frontier.join(nbrs, col("node") === col("src"))
+        .filter(col("idx") === pmod(
+          col("w") * lit(2654435761L) + lit(t.toLong * 40503L) +
+            length(col("node")) * 97L, col("deg")))
+        .select(col("start"), col("w"), col("dst").as("node"))
+        .localCheckpoint(true) // O(1)-deep plan per level, like pathClosure
+      parts += frontier.withColumn("step", lit(t))
+    }
+    parts.reduce(_ unionByName _)
+      .select(col("start"), col("w"), col("step"), col("node"))
+  }
+
   /** Per-entity feature table for graph-ML training (GNN node features,
     * embedding-model side inputs): out-degree, in-degree, distinct
     * predicate count, literal-attribute count, and the deterministic

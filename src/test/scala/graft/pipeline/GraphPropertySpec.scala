@@ -319,6 +319,52 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("randomWalks: distributed walk corpus == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(121, 122)) {
+      val rows = randomFullTriples(seed, nodes = 25, edges = 220, sameAs = 6)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue",
+        "objDatatype", "objLang", "graph")
+      val (k, steps, maxDeg) = (2, 3, 8)
+      val got = GraphTrain.randomWalks(df, k, steps, maxDeg)
+        .as[(String, Int, Int, String)].collect().toSet
+
+      val nbrMap = rows.collect {
+        case (s, _, kk, o, _, _, _) if (kk == 0 || kk == 1) && s != o => (s, o)
+      }.distinct.groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._2).distinct.sorted }
+        .filter(_._2.size <= maxDeg)
+      val expect = (for {
+        start <- nbrMap.keys.toSeq
+        w <- 0 until k
+      } yield {
+        var node = start
+        var alive = true
+        (start, w, 0, node) +: (1 to steps).flatMap { t =>
+          if (!alive) Nil
+          else nbrMap.get(node) match {
+            case Some(ns) =>
+              val pick = ((w.toLong * 2654435761L + t.toLong * 40503L +
+                node.length.toLong * 97L) % ns.size).toInt
+              node = ns(pick)
+              Seq((start, w, t, node))
+            case None => alive = false; Nil
+          }
+        }
+      }).flatten.toSet
+      assert(got == expect, s"seed=$seed")
+      // walk-shape invariants: one node per (start, w, step); prefixes
+      // are contiguous (a step-t row implies a step-(t-1) row)
+      val byWalk = got.groupBy(x => (x._1, x._2))
+      byWalk.values.foreach { ws =>
+        assert(ws.size == ws.map(_._3).size, "duplicate step in a walk")
+        val stepsPresent = ws.map(_._3)
+        (1 to stepsPresent.max).foreach(t =>
+          assert(stepsPresent.contains(t - 1), "gap in walk prefix"))
+      }
+    }
+  }
+
   test("characteristicSets: distributed census == sequential reference") {
     import spark.implicits._
     for (seed <- Seq(41, 42, 43)) {
