@@ -11,6 +11,27 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.PlanAudit /root/testdata/sf0.01"
   */
 object PlanAudit {
+  /** Audited query names — a val on the object (not a local) so
+    * ContractSpec can assert it stays a subset of SparkEntry.queries. */
+  val audited: Seq[String] = Seq(
+    "q1_agg", "q_join_agg", "q_filter_prune", "q_topk_parts",
+    "q_minhash_neardups", "q_jaccard_verify", "q_simhash_neardups",
+    "q_ann_topk", "q_ann_bucketed", "q_ann_ivf", "q_cosine_neardups",
+    "q_ngram_topk", "q_kg_adjacency", "q_kg_entitylink",
+    "q_kg_entitylink_cold", "q_kg_flatten", "q_kg_frame", "q_kg_frame_d2",
+    "q_kg_stats", "q_turtle_ingest", "q_turtle_ingest_bnodes",
+    "q_dedup_incremental", "q_dedup_hotbucket", "q_kg_triples_norm",
+    "q_dedup_lines", "q_decontaminate", "q_kg_compact",
+    "q_pii_scrub", "q_doc_repetition", "q_pack_shards", "q_sample_stratified",
+    "q_host_quota", "q_doc_chunks",
+    "q_dedup_survivors", "q_kg_hubs", "q_kg_cooccur", "q_tfidf_topterms",
+    "q_kg_twohop", "q_kg_delta", "q_kg_hubdict", "q_curation_verdict",
+    "q_kg_bgp", "q_kg_bgp_opt", "q_kg_closure", "q_kg_validate",
+    "q_kg_rdfs", "q_kg_construct", "q_kg_sameas", "q_kg_charsets",
+    "q_kg_intervals", "q_kg_schemagraph", "q_kg_applydelta", "q_kg_negatives",
+    "q_kg_entity_features", "q_kg_bgp_agg", "q_kg_provenance",
+    "q_kg_entitymatch", "q_kg_walks")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -25,25 +46,6 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val audited = Seq(
-      "q1_agg", "q_join_agg", "q_filter_prune", "q_topk_parts",
-      "q_minhash_neardups", "q_jaccard_verify", "q_simhash_neardups",
-      "q_ann_topk", "q_ann_bucketed", "q_ann_ivf", "q_cosine_neardups",
-      "q_ngram_topk", "q_kg_adjacency", "q_kg_entitylink",
-      "q_kg_entitylink_cold", "q_kg_flatten", "q_kg_frame", "q_kg_frame_d2",
-      "q_kg_stats", "q_turtle_ingest", "q_turtle_ingest_bnodes",
-      "q_dedup_incremental", "q_dedup_hotbucket", "q_kg_triples_norm",
-      "q_dedup_lines", "q_decontaminate", "q_kg_compact",
-      "q_pii_scrub", "q_doc_repetition", "q_pack_shards", "q_sample_stratified",
-      "q_host_quota", "q_doc_chunks",
-      "q_dedup_survivors", "q_kg_hubs", "q_kg_cooccur", "q_tfidf_topterms",
-      "q_kg_twohop", "q_kg_delta", "q_kg_hubdict", "q_curation_verdict",
-      "q_kg_bgp", "q_kg_bgp_opt", "q_kg_closure", "q_kg_validate",
-      "q_kg_rdfs", "q_kg_construct", "q_kg_sameas", "q_kg_charsets",
-      "q_kg_intervals", "q_kg_schemagraph", "q_kg_applydelta", "q_kg_negatives",
-      "q_kg_entity_features", "q_kg_bgp_agg", "q_kg_provenance",
-      "q_kg_entitymatch", "q_kg_walks")
 
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
