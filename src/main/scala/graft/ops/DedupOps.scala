@@ -508,12 +508,15 @@ object DedupOps {
   // ---------------- near-dup cluster resolution ----------------
 
   /** Connected components over an undirected near-dup pair table
-    * (a, b) via iterative min-label propagation: each round every node
-    * takes the min of its own component label and its neighbors' labels;
-    * converges in O(component diameter) rounds (near-dup clusters are
-    * stars/cliques — diameter 1-2 in practice, `maxIter` is a safety
-    * bound). This is the standard Spark-shaped CC: per-round cost is one
-    * equi-join + one hash agg over 16-byte rows, no driver-side graph.
+    * (a, b) via iterative min-label propagation WITH pointer jumping:
+    * each round every node takes the min of its own label, its
+    * neighbors' labels, and its label's label (path doubling), so
+    * convergence is O(log component diameter) rounds — near-dup
+    * clusters (stars/cliques, diameter 1-2) converge in 2-3 rounds as
+    * before, and long CHAINS (sameAs paths at web scale) converge in
+    * ~log2(length) instead of blowing the `maxIter` bound. Per-round
+    * cost is two equi-joins + one hash agg over 16-byte rows, no
+    * driver-side graph.
     * Output: (id, comp) where comp = min node id in the component — the
     * canonical "keeper" for dedup resolution (keep rows where id=comp).
     * The returned frame is locally checkpointed (lineage truncated — the
@@ -545,8 +548,22 @@ object DedupOps {
       val nbrMin = und
         .join(labels.select(col("id").as("y"), col("comp").as("ycomp")), Seq("y"))
         .groupBy(col("x").as("id")).agg(min(col("ycomp")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      // pointer jump (path doubling): comp <- min(comp, comp(comp)).
+      // Plain one-hop propagation needs O(component diameter) rounds —
+      // fine for near-dup clusters (stars/cliques, diameter 1-2) but a
+      // sameAs CHAIN of length > maxIter would fail loudly at web scale
+      // (cross-wiki sameAs paths run long). The jump halves the distance
+      // to the minimum every round, so convergence is O(log diameter):
+      // a 10^6-long chain converges in ~20 rounds instead of 10^6.
+      // Every comp value is itself a node id, so the self-join key
+      // always resolves (left + coalesce only for paranoia).
+      val next = stepped
+        .join(stepped.select(col("id").as("jump_from"), col("comp").as("jump_to")),
+          col("comp") === col("jump_from"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("jump_to"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .filter(col("comp") =!= col("old")).count()

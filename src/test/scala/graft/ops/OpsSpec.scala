@@ -28,6 +28,18 @@ class OpsSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L), comps)
   }
 
+  test("dedup components: pointer jumping converges a 200-chain within maxIter 20") {
+    import spark.implicits._
+    // a 200-node CHAIN has diameter 199 — plain one-hop propagation
+    // would blow the maxIter=20 bound (the web-scale sameAs-path case);
+    // path doubling needs ~log2(200) + small-constant rounds
+    val pairs = (0 until 199).map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("a", "b")
+    val comps = DedupOps.dedupComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(comps.size == 200)
+    assert(comps.values.toSet == Set("n000"), comps.values.toSet)
+  }
+
   test("dedup survivors: per-component content argmax, singletons keep themselves") {
     import spark.implicits._
     val docs = Seq((1L, 100L), (2L, 300L), (3L, 300L), (7L, 50L), (8L, 60L), (9L, 10L))
