@@ -1371,7 +1371,7 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY src) AS deg
         |  FROM e),
         |nbrs AS (SELECT * FROM n0 WHERE deg <= 1024),
-        |starts AS (SELECT DISTINCT src AS start FROM nbrs),
+        |starts AS (SELECT DISTINCT src AS start FROM e),
         |w0 AS (
         |  SELECT start, CAST(i.i AS INT) AS w, start AS node
         |  FROM starts CROSS JOIN (SELECT unnest(range(2)) AS i) i),

@@ -56,7 +56,16 @@ object BucketedStore {
       .saveAsTable(table)
 
   /** Read a bucketed table back (by catalog name — see [[writeBucketed]]
-    * on why the name, not the path, carries the bucket layout). */
-  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    * on why the name, not the path, carries the bucket layout).
+    *
+    * Also enables `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * for the session: the sort-elision half of this module's guarantee
+    * lives or dies on that conf, so it belongs with the reader, not in
+    * a test fixture (review r5b). Safe here because [[writeBucketed]]
+    * guarantees one file per bucket — the layout the conf's default
+    * exists to protect against is never produced by this writer. */
+  def readBucketed(spark: SparkSession, table: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     spark.table(table)
+  }
 }

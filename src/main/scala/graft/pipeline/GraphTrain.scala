@@ -58,9 +58,11 @@ object GraphTrain {
     * node's dst-sorted neighbor list — the deterministic-surrogate
     * convention again (swap the affine pick for a seeded PRF in
     * production; the stride keeps every emitted walk SQL-replayable
-    * bit-for-bit). Walks that reach a sink node (no outgoing edges, or
-    * a hub excluded by `maxDegree`) simply end early — standard
-    * truncated-walk semantics.
+    * bit-for-bit). Walks that reach a sink node (no outgoing edges) or
+    * a hub excluded by `maxDegree` simply end early — standard
+    * truncated-walk semantics; capped hubs still START their
+    * walksPerNode walks (step-0 rows), they just cannot extend, so the
+    * corpus never omits the highest-degree entities.
     *
     * Scale shape: the neighbor table carries a per-source index
     * (row_number windowed BY SOURCE — per-key state is one node's
@@ -82,7 +84,12 @@ object GraphTrain {
       .withColumn("deg", count(lit(1)).over(bySrc))
       .filter(col("deg") <= maxDegree)
       .localCheckpoint(true) // read once per step
-    var frontier = nbrs.select(col("src").as("start")).distinct()
+    // starts come from ALL edge sources, not the capped neighbor table:
+    // a hub over maxDegree still gets its step-0 rows (its walks simply
+    // cannot EXTEND — the same truncated-walk semantics as sinks), so
+    // the corpus never silently omits the highest-degree entities
+    // (review r5b)
+    var frontier = edges.select(col("src").as("start")).distinct()
       .withColumn("w", explode(array((0 until walksPerNode).map(lit): _*)))
       .withColumn("node", col("start"))
       .select(col("start"), col("w"), col("node"))

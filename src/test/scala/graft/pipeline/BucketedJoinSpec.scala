@@ -18,15 +18,16 @@ class BucketedJoinSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     // since Spark 3.0 a bucketed scan does not REPORT its sort order by
-    // default (multi-file buckets would make planning expensive); the
-    // writer guarantees one file per bucket, so opting back in is safe
-    // and is what lets the join elide its sorts
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // default (multi-file buckets would make planning expensive);
+    // BucketedStore.readBucketed opts back in — saved and RESTORED here
+    // like the other confs so this suite can't leak state (review r5b)
+    val prevOrd = spark.conf
+      .get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     try body
     finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
     }
   }
 

@@ -329,13 +329,15 @@ class GraphPropertySpec extends AnyFunSuite {
       val got = GraphTrain.randomWalks(df, k, steps, maxDeg)
         .as[(String, Int, Int, String)].collect().toSet
 
-      val nbrMap = rows.collect {
+      val allNbrs = rows.collect {
         case (s, _, kk, o, _, _, _) if (kk == 0 || kk == 1) && s != o => (s, o)
       }.distinct.groupBy(_._1)
         .map { case (s, es) => s -> es.map(_._2).distinct.sorted }
-        .filter(_._2.size <= maxDeg)
+      // extension uses the CAPPED map; starts use every edge source, so
+      // over-cap hubs still emit step-0 rows (review r5b)
+      val nbrMap = allNbrs.filter(_._2.size <= maxDeg)
       val expect = (for {
-        start <- nbrMap.keys.toSeq
+        start <- allNbrs.keys.toSeq
         w <- 0 until k
       } yield {
         var node = start
