@@ -767,6 +767,24 @@ object SparkEntry {
       CurationOps.chunkDocuments(t(s, dir, "documents"),
         chunkTokens = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    // crawl-URL canonicalization over planted cosmetic variants
+    // (fragments, unsorted query params, default ports, scheme/host
+    // case); every rule is regex/split/sort the oracle replays exactly
+    "q_url_canon" -> ((s, dir) => {
+      val base = s.read.parquet(s"${AuxTables.ensure(s, dir)}/pages_urls")
+      import org.apache.spark.sql.Column
+      def planted(cond: Column => Column, f: Column => Column) =
+        base.filter(cond(col("url"))).select(f(col("url")).as("url"))
+      val messy = base
+        .unionByName(planted(u => length(u) % 3 === 0, u => concat(u, lit("#section-2"))))
+        .unionByName(planted(u => length(u) % 4 === 0, u => concat(u, lit("?b=2&a=1"))))
+        .unionByName(planted(u => length(u) % 5 === 0,
+          u => regexp_replace(u, "\\.example/", ".example:443/")))
+        .unionByName(planted(u => length(u) % 7 === 0,
+          u => regexp_replace(u, "^https://host", "HTTPS://HOST")))
+      CurationOps.canonicalizeUrls(messy)
+        .orderBy(col("canonical_url"), col("url"))
+    }),
     // per-host quota (domain diversity cap): two-phase top-k for over-cap
     // hosts; the oracle is the plain row_number window the phases equal
     "q_host_quota" -> ((s, dir) =>
@@ -1847,6 +1865,35 @@ object SparkEntry {
         |  array_to_string(w[s : least(s + 31, n)], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "q_url_canon" ->
+      """WITH base AS (
+        |  SELECT url FROM read_parquet('{AUX}/pages_urls/*.parquet')),
+        |messy AS (
+        |  SELECT url FROM base
+        |  UNION ALL SELECT url || '#section-2' FROM base WHERE length(url) % 3 = 0
+        |  UNION ALL SELECT url || '?b=2&a=1' FROM base WHERE length(url) % 4 = 0
+        |  UNION ALL SELECT regexp_replace(url, '\.example/', '.example:443/')
+        |    FROM base WHERE length(url) % 5 = 0
+        |  UNION ALL SELECT regexp_replace(url, '^https://host', 'HTTPS://HOST')
+        |    FROM base WHERE length(url) % 7 = 0),
+        |parts AS (
+        |  SELECT url,
+        |    lower(regexp_extract(nofrag, '^([^:/?#]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(nofrag, '\?([^#]*)', 1) AS q
+        |  FROM (SELECT url, string_split(url, '#')[1] AS nofrag FROM messy))
+        |SELECT url,
+        |  scheme || '://' ||
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END ||
+        |  CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+        |  CASE WHEN q = '' THEN ''
+        |       ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END
+        |    AS canonical_url
+        |FROM parts
+        |ORDER BY canonical_url, url""".stripMargin,
     // host quota: the sequential row_number verdict the two-phase
     // engine plan must reproduce
     "q_host_quota" ->

@@ -284,6 +284,40 @@ object CurationOps {
     *      ever sorts more than salt×cap rows of one host. Rows cut in
     *      phase 1 are definitively over-quota and short-circuit to
     *      kept=false. Raise `salt` for pathological single-host mass. */
+  /** Canonical crawl URL: the dedup key that collapses cosmetic URL
+    * variants of one page BEFORE expensive content dedup ever sees
+    * them (standard crawl-frontier normalization):
+    *
+    *  - fragment stripped (`#…` never reaches the server);
+    *  - scheme and authority lower-cased;
+    *  - default port stripped (`:80` for http, `:443` for https);
+    *  - empty path becomes `/`;
+    *  - query parameters sorted (`?b=2&a=1` == `?a=1&b=2`).
+    *
+    * Pure codegen'd Column expressions over one narrow projection —
+    * zero shuffles, zero UDFs; every rule is plain regex/split/sort
+    * so the SQL oracle replays it exactly. Deliberately NOT attempted:
+    * percent-decoding, IDN, tracking-param blacklists — semantic
+    * choices a production pipeline configures, not defaults. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = split(url, "#").getItem(0)
+    val scheme = lower(regexp_extract(noFrag, "^([^:/?#]+)://", 1))
+    val auth = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path0 = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val sortedQ = when(q === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+    concat(scheme, lit("://"), authNoPort, path, sortedQ)
+  }
+
+  /** (url, canonical_url) mapping over a url-column frame. */
+  def canonicalizeUrls(pages: DataFrame): DataFrame =
+    pages.select(col("url"), canonicalUrl(col("url")).as("canonical_url"))
+
   def hostQuota(pages: DataFrame, cap: Int, salt: Int = 8): DataFrame = {
     require(cap >= 1 && salt >= 1)
     val withHost = pages.select(col("url"),

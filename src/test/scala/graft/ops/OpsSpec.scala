@@ -346,6 +346,29 @@ class OpsSpec extends AnyFunSuite {
     assert(compsInc == compsFull, s"$compsInc vs $compsFull")
   }
 
+  test("url canonicalization: fragments, ports, case, query order, bare paths") {
+    import spark.implicits._
+    val cases = Seq(
+      // (input, expected canonical)
+      ("https://Host.Example/page/1#frag", "https://host.example/page/1"),
+      ("HTTP://HOST.EXAMPLE:80/a?b=2&a=1", "http://host.example/a?a=1&b=2"),
+      ("https://h.example:443/x", "https://h.example/x"),
+      ("https://h.example:8443/x", "https://h.example:8443/x"), // non-default port kept
+      ("http://h.example:443/x", "http://h.example:443/x"),     // wrong-scheme port kept
+      ("https://h.example", "https://h.example/"),              // empty path -> /
+      ("https://h.example?z=1&y=2#f", "https://h.example/?y=2&z=1"),
+      ("https://h.example/p?a=1", "https://h.example/p?a=1"))   // already canonical
+    val got = CurationOps.canonicalizeUrls(cases.map(_._1).toDF("url"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)} (wanted $want)")
+    }
+    // idempotence: canonicalizing a canonical url is a no-op
+    val second = CurationOps.canonicalizeUrls(
+      cases.map(_._2).distinct.toDF("url")).as[(String, String)].collect()
+    second.foreach { case (in, out) => assert(in == out, s"not idempotent: $in -> $out") }
+  }
+
   test("text metrics: token count, quality bounds, langid") {
     val out = TextOps.enrich(docs.withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text"))))
