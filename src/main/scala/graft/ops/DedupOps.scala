@@ -548,22 +548,28 @@ object DedupOps {
       val nbrMin = und
         .join(labels.select(col("id").as("y"), col("comp").as("ycomp")), Seq("y"))
         .groupBy(col("x").as("id")).agg(min(col("ycomp")).as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      // pointer jump (path doubling): comp <- min(comp, comp(comp)).
-      // Plain one-hop propagation needs O(component diameter) rounds —
-      // fine for near-dup clusters (stars/cliques, diameter 1-2) but a
-      // sameAs CHAIN of length > maxIter would fail loudly at web scale
-      // (cross-wiki sameAs paths run long). The jump halves the distance
-      // to the minimum every round, so convergence is O(log diameter):
-      // a 10^6-long chain converges in ~20 rounds instead of 10^6.
-      // Every comp value is itself a node id, so the self-join key
-      // always resolves (left + coalesce only for paranoia).
-      val next = stepped
-        .join(stepped.select(col("id").as("jump_from"), col("comp").as("jump_to")),
+      // SYNCHRONOUS pointer jump (path doubling) fused into the same
+      // round: comp <- min(comp, min-neighbor-comp, comp(comp)), with
+      // the jump read from the PREVIOUS round's labels. Plain one-hop
+      // propagation needs O(component diameter) rounds — fine for
+      // near-dup clusters (stars/cliques, diameter 1-2) but a sameAs
+      // CHAIN of length > maxIter would fail loudly at web scale
+      // (cross-wiki sameAs paths run long); the jump halves the
+      // distance to the minimum every round → O(log diameter). Fusing
+      // it keeps ONE eager checkpoint per round — a first cut that
+      // checkpointed an intermediate "stepped" frame doubled the
+      // session's checkpoint-RDD churn and measurably degraded a ~40 s
+      // window of every full Bench session (A/B-verified: totals
+      // 47-51 s vs 23 s) despite being cheap in isolation. Every comp
+      // value is itself a node id, so the jump key always resolves
+      // (left + coalesce only for paranoia).
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(labels.select(col("id").as("jump_from"), col("comp").as("jump_to")),
           col("comp") === col("jump_from"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("jump_to"), col("comp"))).as("comp"))
+        .select(col("id"), least(col("comp"),
+          coalesce(col("nbr"), col("comp")),
+          coalesce(col("jump_to"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .filter(col("comp") =!= col("old")).count()
