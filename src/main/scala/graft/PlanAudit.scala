@@ -30,10 +30,15 @@ object PlanAudit {
     "q_kg_rdfs", "q_kg_construct", "q_kg_sameas", "q_kg_charsets",
     "q_kg_intervals", "q_kg_schemagraph", "q_kg_applydelta", "q_kg_negatives",
     "q_kg_entity_features", "q_kg_bgp_agg", "q_kg_provenance",
-    "q_kg_entitymatch", "q_kg_walks", "q_url_canon")
+    "q_kg_entitymatch", "q_kg_walks", "q_url_canon",
+    "q_kg_triangles", "q_kg_hostgraph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // optional trailing args: audit only these names (incremental rounds
+    // re-audit just the queries they touched)
+    val subset = args.drop(1).toSet
+    val toAudit = if (subset.isEmpty) audited else audited.filter(subset)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +52,7 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    audited.foreach { name =>
+    toAudit.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       println(s"\n===== $name =====")

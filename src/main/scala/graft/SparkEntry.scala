@@ -435,6 +435,22 @@ object SparkEntry {
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
         .orderBy(col("n_reach").desc, col("src"))
         .limit(100)),
+    // per-node triangle participation over the undirected IRI graph —
+    // degree-oriented wedge enumeration (O(m^1.5) regardless of skew);
+    // oracle = the a<b<c three-way self-join in plain SQL
+    "q_kg_triangles" -> ((s, dir) =>
+      GraphMaterialize.triangleCounts(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(100)),
+    // host-level webgraph quotient (domain graph): edge mass + exact
+    // distinct supporting subjects per (src_host, dst_host), host parsed
+    // by the one shared regex so both engines see the identical quotient
+    "q_kg_hostgraph" -> ((s, dir) =>
+      GraphMaterialize.hostGraph(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("n_edges").desc, col("src_host"), col("dst_host"))
+        .limit(100)),
     // crawl-snapshot delta: snapshot B is derived from A by a
     // deterministic length-based perturbation (drop literals whose value
     // length % 7 = 0; re-observe literals whose subject length % 5 = 0
@@ -1262,6 +1278,40 @@ object SparkEntry {
         |SELECT src, count(*) AS n_reach
         |FROM reach WHERE src <> nbr
         |GROUP BY src ORDER BY n_reach DESC, src LIMIT 100""".stripMargin,
+    "q_kg_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(subj, objValue) AS a, greatest(subj, objValue) AS b
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE objKind = 0 AND subj <> objValue),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri UNION ALL
+        |  SELECT y AS node FROM tri UNION ALL
+        |  SELECT z AS node FROM tri),
+        |pn AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+        |SELECT d.node, COALESCE(pn.n_tri, CAST(0 AS BIGINT)) AS n_tri, d.degree
+        |FROM deg d LEFT JOIN pn USING (node)
+        |ORDER BY n_tri DESC, node LIMIT 100""".stripMargin,
+    "q_kg_hostgraph" ->
+      """WITH h AS (
+        |  SELECT regexp_extract(subj, '^https?://([^/]+)/', 1) AS src_host,
+        |         regexp_extract(objValue, '^https?://([^/]+)/', 1) AS dst_host,
+        |         subj
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE objKind = 0)
+        |SELECT src_host, dst_host, count(*) AS n_edges,
+        |  count(DISTINCT subj) AS n_subjects
+        |FROM h
+        |WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+        |GROUP BY src_host, dst_host
+        |ORDER BY n_edges DESC, src_host, dst_host LIMIT 100""".stripMargin,
     "q_kg_delta" ->
       """WITH a AS (
         |  SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph

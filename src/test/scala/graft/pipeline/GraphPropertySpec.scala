@@ -75,6 +75,65 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCounts: degree-oriented enumeration == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(131, 132, 133)) {
+      val rows = randomTriples(seed, nodes = 25, edges = 300)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue")
+      val got = GraphMaterialize.triangleCounts(df)
+        .as[(String, Long, Long)].collect().toSet
+
+      // sequential reference: undirected simple graph, brute-force a<b<c
+      val und = rows.collect { case (s, _, k, o) if k == 0 && s != o =>
+        (Seq(s, o).min, Seq(s, o).max)
+      }.distinct
+      val undSet = und.toSet
+      val nodes = (und.map(_._1) ++ und.map(_._2)).distinct
+      val deg = nodes.map(n => n -> und.count(e => e._1 == n || e._2 == n).toLong).toMap
+      val sorted = nodes.sorted
+      val tris = for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size; k <- (j + 1) until sorted.size
+        (x, y, z) = (sorted(i), sorted(j), sorted(k))
+        if undSet((x, y)) && undSet((y, z)) && undSet((x, z))
+      } yield (x, y, z)
+      val perNode = tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val expect = nodes.map(n => (n, perNode.getOrElse(n, 0L), deg(n))).toSet
+      assert(got == expect, s"seed=$seed")
+      // global triangle mass: corner counts sum to 3 × triangle count
+      assert(got.toSeq.map(_._2).sum == 3L * tris.size, s"seed=$seed")
+    }
+  }
+
+  test("hostGraph: host quotient == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(141, 142, 143)) {
+      val r = new Random(seed)
+      // IRIs with real hosts, plus bnodes and literals that must drop out
+      def iri() = s"https://h${r.nextInt(6)}.example/e/${r.nextInt(20)}"
+      val rows = (0 until 300).map { _ =>
+        val s = if (r.nextInt(8) == 0) s"_:b${r.nextInt(10)}" else iri()
+        if (r.nextInt(5) == 0) (s, "p", 2.toByte, s"lit ${r.nextInt(10)}")
+        else (s, "p", 0.toByte, if (r.nextInt(8) == 0) s"_:b${r.nextInt(10)}" else iri())
+      }
+      val df = rows.toDF("subj", "pred", "objKind", "objValue")
+      val got = GraphMaterialize.hostGraph(df)
+        .as[(String, String, Long, Long)].collect().toSet
+
+      val hostOf = "^https?://([^/]+)/".r
+      def host(s: String): String =
+        hostOf.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val kept = rows.collect { case (s, _, k, o) if k == 0 => (host(s), host(o), s) }
+        .filter { case (sh, dh, _) => sh.nonEmpty && dh.nonEmpty && sh != dh }
+      val expect = kept.groupBy(x => (x._1, x._2)).map { case ((sh, dh), xs) =>
+        (sh, dh, xs.size.toLong, xs.map(_._3).distinct.size.toLong)
+      }.toSet
+      assert(got == expect, s"seed=$seed")
+      // quotient conservation: edge mass equals the kept cross-host edges
+      assert(got.toSeq.map(_._3).sum == kept.size, s"seed=$seed")
+    }
+  }
+
   /** Full-width random triples (7 columns) with sameAs equivalence
     * assertions woven in: chains, duplicates, a literal-object sameAs
     * (must be ignored), self sameAs (dropped), mixed datatypes/langs and
