@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5f"
+  private val Version = "r5g"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -255,6 +255,14 @@ object AuxTables {
     PageGen.pages(spark, KgPages, seed = 42L, partitions = 8)
       .select("url").toDF()
       .coalesce(1).write.mode("overwrite").parquet(s"$d/pages_urls")
+
+    // 3h. the crawl link graph with anchor text, extracted from the same
+    //     page corpus (Extract.links; byte-exact anchors unit-gated in
+    //     PipelineSpec) — q_kg_anchortext's consensus is re-derived in
+    //     SQL from this emission, like triples_prov for provenance.
+    graft.pipeline.Extract.links(
+        PageGen.pages(spark, KgPages, seed = 42L, partitions = 8))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/links")
 
     // 4. keys-only ANN sketch of the sf embeddings table (build once,
     //    probe many — VectorOps.Ann* constants pin the parameters)

@@ -451,6 +451,15 @@ object SparkEntry {
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
         .orderBy(col("n_edges").desc, col("src_host"), col("dst_host"))
         .limit(100)),
+    // anchor-text consensus per link target over the extracted crawl
+    // link graph (AuxTables `links`, byte-exact anchors) — majority
+    // anchor via order-independent max(struct); oracle = the same
+    // count/sum/window program over the persisted emission
+    "q_kg_anchortext" -> ((s, dir) =>
+      GraphMaterialize.anchorTextConsensus(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/links"))
+        .orderBy(col("n_links").desc, col("href"))
+        .limit(100)),
     // crawl-snapshot delta: snapshot B is derived from A by a
     // deterministic length-based perturbation (drop literals whose value
     // length % 7 = 0; re-observe literals whose subject length % 5 = 0
@@ -1312,6 +1321,22 @@ object SparkEntry {
         |WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
         |GROUP BY src_host, dst_host
         |ORDER BY n_edges DESC, src_host, dst_host LIMIT 100""".stripMargin,
+    "q_kg_anchortext" ->
+      """WITH c AS (
+        |  SELECT href, anchor, count(*) AS cnt
+        |  FROM read_parquet('{AUX}/links/*.parquet')
+        |  GROUP BY href, anchor),
+        |agg AS (
+        |  SELECT href, CAST(SUM(cnt) AS BIGINT) AS n_links,
+        |    count(*) AS n_texts
+        |  FROM c GROUP BY href),
+        |ranked AS (
+        |  SELECT href, anchor, row_number() OVER (
+        |    PARTITION BY href ORDER BY cnt DESC, anchor DESC) AS rn
+        |  FROM c)
+        |SELECT a.href, r.anchor AS top_anchor, a.n_links, a.n_texts
+        |FROM agg a JOIN ranked r ON a.href = r.href AND r.rn = 1
+        |ORDER BY n_links DESC, a.href LIMIT 100""".stripMargin,
     "q_kg_delta" ->
       """WITH a AS (
         |  SELECT subj, pred, objKind, objValue, objDatatype, objLang, graph

@@ -94,6 +94,33 @@ object Extract {
     out.result()
   }
 
+  /** `<a href="...">text</a>` anchors, in document order. Same
+    * byte-exactness discipline as the script blocks: the canonical
+    * double-quoted form is matched verbatim (the synthetic corpus always
+    * emits it); href and anchor text are the exact substrings. Anchors
+    * with nested markup in the text are skipped (the `[^<]*` text class),
+    * matching what a conservative crawl extractor keeps. */
+  private val AnchorP = java.util.regex.Pattern.compile(
+    "<a href=\"([^\"]*)\">([^<]*)</a>")
+
+  def anchorLinks(html: String): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    val m = AnchorP.matcher(html)
+    while (m.find()) out += ((m.group(1), m.group(2)))
+    out.result()
+  }
+
+  /** Dataset-level link extraction: one narrow flatMap over [url, html] —
+    * the crawl link graph with anchor text, no shuffle (aggregation is
+    * the consumer's job). */
+  def links(pages: Dataset[Page]): Dataset[PageLink] = {
+    import pages.sparkSession.implicits._
+    pages.flatMap { page =>
+      val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
+      anchorLinks(html).map { case (href, text) => PageLink(page.url, href, text) }
+    }
+  }
+
   /** Dataset-level extraction: one narrow flatMap, columnar-pruned input
     * (only url + html are read from the scan). */
   def extract(pages: Dataset[Page]): Dataset[ExtractedDoc] = {

@@ -699,6 +699,33 @@ object GraphMaterialize {
       .agg(sum(col("m")).as("n_edges"), count(lit(1)).as("n_subjects"))
   }
 
+  /** Anchor-text consensus per link target: for every href, the total
+    * in-link count, the number of distinct anchor strings, and the
+    * majority anchor text — the classic crawl-mined naming signal (what
+    * the web CALLS a url is the strongest surface form for entity
+    * naming and dictionary construction; hub entities accumulate their
+    * canonical surface here by sheer link mass).
+    *
+    * Scale shape: two keyed hash aggs, both partial-agg friendly —
+    * (href, anchor) counts combine map-side (boilerplate anchors like a
+    * site-wide "home" collapse before the exchange), then the per-href
+    * consensus folds count-sum, distinct-text count, and an
+    * order-independent max(struct(count, anchor)) in ONE agg (never a
+    * window over an unordered tie: ties break to the greater anchor
+    * string, which the oracle reproduces with a deterministic ORDER BY).
+    * Exchanges carry (href, anchor, count) — anchor strings are short;
+    * at 10^12 pages the href key space is page-scale but the agg state
+    * per key is O(1). */
+  def anchorTextConsensus(links: DataFrame): DataFrame =
+    links.groupBy(col("href"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("href"))
+      .agg(sum(col("cnt")).as("n_links"),
+        count(lit(1)).as("n_texts"),
+        max(struct(col("cnt").as("c"), col("anchor").as("a"))).as("m"))
+      .select(col("href"), col("m.a").as("top_anchor"),
+        col("n_links"), col("n_texts"))
+
   /** Crawl-snapshot delta: the triples ADDED and REMOVED between two
     * materializations of the graph (re-crawl maintenance — downstream
     * consumers refresh from the delta instead of re-reading the world).

@@ -21,6 +21,14 @@ final case class ExtractedDoc(
     payload: String,
     kind: String) // "jsonld" | "microdata"
 
+/** One `<a href>` hyperlink extracted from a page: the crawl's link
+  * graph edge with its anchor text — the surface-form signal anchor-text
+  * consensus and host-graph construction consume. */
+final case class PageLink(
+    src_url: String,
+    href: String,
+    anchor: String)
+
 /** The pipeline's terminal record (SURVEY.md §1.4): tagged-union RDF node
   * flattened into (kind, value, datatype, lang) columns for cheap
   * dropDuplicates/joins at 100 TB scale.

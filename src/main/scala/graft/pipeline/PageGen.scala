@@ -90,13 +90,42 @@ object PageGen {
     }
   }
 
-  def htmlShell(url: String, payloads: Seq[String], filler: String): String = {
+  /** Deterministic outlinks for row `i`: 0..3 anchors per page. ~1/8 of
+    * links point at a hub ENTITY with its canonical surface as anchor
+    * text (the anchor-text-consensus naming signal crawl pipelines mine);
+    * the rest point at Zipf-hot page urls, so link targets are skewed
+    * like real in-link distributions. Pure function of (seed, i) —
+    * splittable and re-derivable like everything else in the corpus. */
+  def linksFor(seed: Long, i: Long): Vector[(String, String)] = {
+    val r = mix64(seed ^ (i * 131 + 7))
+    val nLinks = ((r >>> 6) % 4).toInt.abs // 0..3 links per page
+    (0 until nLinks).map { l =>
+      val rl = mix64(r + l * 1013L)
+      if ((rl & 7) == 0) {
+        val h = ((rl >>> 8) % HubEntities.size).toInt.abs
+        (HubEntities(h), HubSurfaces(h))
+      } else {
+        val u = (rl >>> 11).toDouble / (1L << 53).toDouble
+        val host = s"host-${zipfRank(u, 1000)}.example"
+        val slot = ((rl >>> 24) % 50000).toInt.abs
+        (s"https://$host/page/$slot", s"page $slot on $host")
+      }
+    }.toVector
+  }
+
+  def htmlShell(url: String, payloads: Seq[String], filler: String,
+      links: Seq[(String, String)] = Nil): String = {
     val blocks = payloads
       .map(p => s"""<script type="application/ld+json">$p</script>""")
       .mkString("\n")
+    val anchors = links
+      .map { case (href, text) => s"""<a href="$href">$text</a>""" }
+      .mkString("\n")
     s"""<!DOCTYPE html><html><head><title>$url</title>
 $blocks
-</head><body><p>$filler</p></body></html>"""
+</head><body><p>$filler</p>
+$anchors
+</body></html>"""
   }
 
   def pageAt(seed: Long, i: Long): Page = {
@@ -106,7 +135,7 @@ $blocks
     val nBlocks = (((r >>> 4) % 4) + 0).toInt.abs // 0..3 blocks per page
     val payloads = (0 until nBlocks).map(b => payload(seed, i, b))
     val filler = s"synthetic page $i body text " * (((r >>> 40) % 5).toInt.abs + 1)
-    val html = htmlShell(url, payloads, filler)
+    val html = htmlShell(url, payloads, filler, linksFor(seed, i))
     val ts = new Timestamp(1700000000000L + (r % 31536000000L).abs)
     Page(url, ts, html.getBytes(java.nio.charset.StandardCharsets.UTF_8), filler,
       Langs((r % Langs.size).toInt.abs))

@@ -134,6 +134,28 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("anchorTextConsensus: majority anchor == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(151, 152, 153)) {
+      val r = new Random(seed)
+      // few hrefs × few anchor strings → real count ties to break
+      val rows = (0 until 400).map { _ =>
+        (s"https://s${r.nextInt(50)}.example/p", s"https://t${r.nextInt(12)}.example/p",
+          s"text ${r.nextInt(4)}")
+      }
+      val df = rows.toDF("src_url", "href", "anchor")
+      val got = GraphMaterialize.anchorTextConsensus(df)
+        .as[(String, String, Long, Long)].collect().toSet
+
+      val expect = rows.groupBy(_._2).map { case (href, xs) =>
+        val counts = xs.groupBy(_._3).map { case (a, ys) => (a, ys.size.toLong) }
+        val top = counts.toSeq.maxBy { case (a, c) => (c, a) }._1
+        (href, top, xs.size.toLong, counts.size.toLong)
+      }.toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   /** Full-width random triples (7 columns) with sameAs equivalence
     * assertions woven in: chains, duplicates, a literal-object sameAs
     * (must be ignored), self sameAs (dropped), mixed datatypes/langs and

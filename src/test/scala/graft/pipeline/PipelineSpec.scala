@@ -34,6 +34,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(checked > 50, s"too few blocks checked: $checked")
   }
 
+  test("link extraction is byte-identical to the generated anchors") {
+    import spark.implicits._
+    val n = 200L
+    val pages = PageGen.pages(spark, n, seed = 42L, partitions = 4)
+    val got = Extract.links(pages).as[PageLink].collect()
+      .groupBy(_.src_url)
+      .map { case (u, ls) => u -> ls.map(l => (l.href, l.anchor)).toVector }
+    var checked = 0
+    (0L until n).foreach { i =>
+      val p = PageGen.pageAt(42L, i)
+      val expected = PageGen.linksFor(42L, i)
+      assert(got.getOrElse(p.url, Vector.empty) == expected,
+        s"anchor mismatch for ${p.url}")
+      checked += expected.size
+    }
+    assert(checked > 100, s"too few anchors checked: $checked")
+    // entity links carry the hub's canonical surface as anchor text
+    val entityAnchors = got.values.flatten.filter(_._1.startsWith("https://hub.example/"))
+    assert(entityAnchors.nonEmpty)
+    entityAnchors.foreach { case (href, text) =>
+      val idx = PageGen.HubEntities.indexOf(href)
+      assert(idx >= 0 && PageGen.HubSurfaces(idx) == text, s"$href -> $text")
+    }
+  }
+
   test("pipeline output is invariant to partitioning (determinism)") {
     val t1 = TripleEmit.pipeline(PageGen.pages(spark, 150, 42L, partitions = 3))
       .collect().map(_.toString).sorted
