@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5g"
+  private val Version = "r5h"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -187,6 +187,27 @@ object AuxTables {
             when(col("doc_id") % 2 === 0, array(lit(BoilerFooter))).otherwise(emptyArr)),
             "\n").as("text"))
         .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_lines")
+    }
+
+    // 3c-bis. host-attributed multi-line corpus for PER-HOST boilerplate
+    //     removal (q_boilerplate): the docs_lines corpus assigned to 20
+    //     hosts by doc_id % 20, with a per-host nav line planted on every
+    //     doc whose doc_id % 3 != 2 (~2/3 of each host's docs — over the
+    //     500-milli threshold, so it must be removed host-wide), while
+    //     docs_lines' global header/footer plants land all-or-none per
+    //     host (20 ≡ 0 mod 2 and ... mod 4: parity is constant within a
+    //     host), giving hosts where they are boilerplate and hosts where
+    //     they never appear. Natural 8-token lines stay unique.
+    locally {
+      import org.apache.spark.sql.functions._
+      val host = concat(lit("h"), pmod(col("doc_id"), lit(20)))
+      val nav = concat(lit("site navigation for host "), host,
+        lit(" home about contact"))
+      spark.read.parquet(s"$d/docs_lines")
+        .select(col("doc_id"), host.as("host"),
+          when(pmod(col("doc_id"), lit(3)) =!= 2,
+            concat(nav, lit("\n"), col("text"))).otherwise(col("text")).as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_hosted")
     }
 
     // 3d. held-out eval set for decontamination: 20 "contaminated" eval

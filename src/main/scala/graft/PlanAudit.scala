@@ -31,7 +31,9 @@ object PlanAudit {
     "q_kg_intervals", "q_kg_schemagraph", "q_kg_applydelta", "q_kg_negatives",
     "q_kg_entity_features", "q_kg_bgp_agg", "q_kg_provenance",
     "q_kg_entitymatch", "q_kg_walks", "q_url_canon",
-    "q_kg_triangles", "q_kg_hostgraph", "q_kg_anchortext")
+    "q_kg_triangles", "q_kg_hostgraph", "q_kg_anchortext",
+    "q_kg_communities", "q_kg_kcore", "q_boilerplate",
+    "q_inverted_index", "q_bm25_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -31,6 +31,14 @@ object SparkEntry {
   /** Iteration count shared by q_kg_hubs and its oracle. */
   private val HubIterations = 6
 
+  /** Round count shared by q_kg_communities and its oracle. */
+  private val LpaRounds = 4
+
+  /** Fixed query-term bag shared by q_bm25_search and its oracle
+    * ('dup' is the corpus' one rare term — df ~5% — so the idf spread
+    * is real, not degenerate). */
+  private val Bm25Terms = Seq("dup", "vector", "merge")
+
   /** The hub-scoring oracle: the SAME fixed-point iteration unrolled as
     * chained CTEs (DuckDB's recursive CTEs can't aggregate over the
     * recursive reference, so the fixed iteration count is spelled out —
@@ -62,6 +70,68 @@ object SparkEntry {
     s"""$hubCtes
        |SELECT node, score FROM pr$HubIterations
        |ORDER BY score DESC, node LIMIT 100""".stripMargin
+
+  /** LPA oracle: the synchronous rounds unrolled as chained CTEs, the
+    * per-node argmax expressed as a row_number over (cnt DESC, community
+    * ASC) — the identical total tie-break as the engine's
+    * min(struct(-cnt, label)) aggregate. */
+  private def lpaOracleSql: String = {
+    val steps = (1 to LpaRounds).map { i =>
+      s"""c$i AS (
+         |  SELECT s.x, l.community, count(*) AS cnt
+         |  FROM sym s JOIN l${i - 1} l ON s.y = l.node
+         |  GROUP BY s.x, l.community),
+         |l$i AS (
+         |  SELECT x AS node, community FROM (
+         |    SELECT x, community, row_number() OVER (
+         |      PARTITION BY x ORDER BY cnt DESC, community) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (
+       |  SELECT DISTINCT least(subj, objValue) AS a, greatest(subj, objValue) AS b
+       |  FROM read_parquet('{AUX}/triples/*.parquet')
+       |  WHERE objKind = 0 AND subj <> objValue),
+       |sym AS (SELECT a AS x, b AS y FROM und
+       |        UNION ALL SELECT b AS x, a AS y FROM und),
+       |l0 AS (SELECT DISTINCT x AS node, x AS community FROM sym),
+       |$steps
+       |SELECT node, community FROM l$LpaRounds ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled peel rounds in the k-core oracle. The fixed KG corpus
+    * reaches its 2-core fixpoint in 3 rounds (margin proven in
+    * GraphPropertySpec); past the fixpoint every further peel is the
+    * identity, so 6 = convergence + slack. */
+  private val KcoreOracleRounds = 6
+
+  /** k-core (k = 2) oracle: the peel unrolled — each round restricts the
+    * edge set to live endpoints, recounts degrees, and keeps nodes with
+    * core_deg >= 2; the engine's early-exit fixpoint equals the fixed
+    * unroll because a converged peel is idempotent. */
+  private def kcoreOracleSql: String = {
+    val steps = (1 to KcoreOracleRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, count(*) AS core_deg FROM (
+         |    SELECT e.a AS node FROM und e
+         |    JOIN a${i - 1} x ON e.a = x.node JOIN a${i - 1} y ON e.b = y.node
+         |    UNION ALL
+         |    SELECT e.b AS node FROM und e
+         |    JOIN a${i - 1} x ON e.a = x.node JOIN a${i - 1} y ON e.b = y.node)
+         |  GROUP BY node),
+         |a$i AS (SELECT node, core_deg FROM d$i WHERE core_deg >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (
+       |  SELECT DISTINCT least(subj, objValue) AS a, greatest(subj, objValue) AS b
+       |  FROM read_parquet('{AUX}/triples/*.parquet')
+       |  WHERE objKind = 0 AND subj <> objValue),
+       |a0 AS (SELECT a AS node FROM und UNION SELECT b AS node FROM und),
+       |$steps
+       |SELECT node, core_deg FROM a$KcoreOracleRounds ORDER BY node""".stripMargin
+  }
+
+  /** The fixed BM25 query bag as a SQL VALUES list (shared verbatim). */
+  private def bm25TermsValues: String =
+    Bm25Terms.map(t => s"('$t')").mkString(", ")
 
   private def mentionPredsSqlList: String =
     graft.pipeline.GraphMaterialize.MentionPreds.map(p => s"'$p'").mkString(", ")
@@ -443,6 +513,20 @@ object SparkEntry {
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
         .orderBy(col("n_tri").desc, col("node"))
         .limit(100)),
+    // synchronous label propagation (4 deterministic rounds, ties to the
+    // lexically smallest label) over the undirected IRI graph; oracle =
+    // the same rounds unrolled as chained CTEs with a row_number argmax
+    "q_kg_communities" -> ((s, dir) =>
+      GraphMaterialize.labelPropagation(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"), rounds = LpaRounds)
+        .orderBy(col("node"))),
+    // 2-core membership via iterative peeling to a fixpoint (loud refusal
+    // if maxRounds passes without one); oracle = the peel unrolled 6
+    // rounds (the fixed KG corpus converges in 3 — margin proven in spec)
+    "q_kg_kcore" -> ((s, dir) =>
+      GraphMaterialize.kCore(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"), k = 2)
+        .orderBy(col("node"))),
     // host-level webgraph quotient (domain graph): edge mass + exact
     // distinct supporting subjects per (src_host, dst_host), host parsed
     // by the one shared regex so both engines see the identical quotient
@@ -816,6 +900,30 @@ object SparkEntry {
       CurationOps.hostQuota(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/pages_urls"), cap = 10)
         .orderBy(col("url"))),
+    // per-host boilerplate removal (CCNet-style): a line appearing in
+    // ≥ 500/1000 of a host's docs (host having ≥ 3 docs) is stripped from
+    // ALL of that host's docs; integer-threshold verdict so the oracle
+    // replays it exactly over the same host-attributed corpus
+    "q_boilerplate" -> ((s, dir) =>
+      CurationOps.hostBoilerplate(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_hosted"),
+        minDocs = 3L, minDocFracMilli = 500L)
+        .orderBy(col("doc_id"))),
+
+    // ---- retrieval-index layer over the documents table ----
+    // inverted bigram-phrase index with a [2, N/5] df band; posting lists
+    // collect ONLY after the band filter (the order of ops is the skew
+    // guard); oracle rebuilds every posting list with string_agg
+    "q_inverted_index" -> ((s, dir) =>
+      IndexOps.invertedIndex(t(s, dir, "documents"), n = 2, minDf = 2L,
+        maxDfMilli = 200L)
+        .orderBy(col("term"))),
+    // BM25-style top-20 keyword search (integer-surrogate scoring, fixed
+    // 3-term query bag); query-term hashes ride a broadcast so only
+    // matching tokens ever reach a shuffle; oracle replays the identical
+    // integer formula term-by-term in SQL
+    "q_bm25_search" -> ((s, dir) =>
+      IndexOps.bm25Search(t(s, dir, "documents"), Bm25Terms, k = 20)),
     // global cross-partition triple compaction (KgCompact.compact) over a
     // deliberately partition-duplicated triples table; oracle = DISTINCT
     "q_kg_compact" -> ((s, dir) =>
@@ -1308,6 +1416,8 @@ object SparkEntry {
         |SELECT d.node, COALESCE(pn.n_tri, CAST(0 AS BIGINT)) AS n_tri, d.degree
         |FROM deg d LEFT JOIN pn USING (node)
         |ORDER BY n_tri DESC, node LIMIT 100""".stripMargin,
+    "q_kg_communities" -> lpaOracleSql,
+    "q_kg_kcore" -> kcoreOracleSql,
     "q_kg_hostgraph" ->
       """WITH h AS (
         |  SELECT regexp_extract(subj, '^https?://([^/]+)/', 1) AS src_host,
@@ -1980,6 +2090,86 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY host ORDER BY url) AS rk
         |      FROM p)
         |SELECT url, host, rk <= 10 AS kept FROM r ORDER BY url""".stripMargin,
+    // per-host boilerplate: document frequency per (host, line), the
+    // integer-threshold verdict, and retained-text reassembly — all
+    // re-derived over the raw line STRINGS (the engine's 2x64-bit line
+    // keys only diverge under a ~2^-128 hash collision)
+    "q_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, host, string_split(text, chr(10)) AS ln
+        |  FROM read_parquet('{AUX}/docs_hosted/*.parquet')),
+        |x AS (SELECT doc_id, host, unnest(generate_series(1, len(ln))) AS i, ln FROM d),
+        |l AS (SELECT doc_id, host, i - 1 AS pos, ln[i] AS line FROM x),
+        |ldf AS (SELECT host, line, count(DISTINCT doc_id) AS nd
+        |        FROM l GROUP BY host, line),
+        |hd AS (SELECT host, count(*) AS n_docs FROM d GROUP BY host),
+        |boiler AS (
+        |  SELECT ldf.host, ldf.line FROM ldf JOIN hd USING (host)
+        |  WHERE n_docs >= 3 AND nd * 1000 >= 500 * n_docs),
+        |k AS (
+        |  SELECT l.doc_id, count(*) AS n_kept,
+        |    string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean
+        |  FROM l ANTI JOIN boiler ON l.host = boiler.host AND l.line = boiler.line
+        |  GROUP BY l.doc_id)
+        |SELECT d.doc_id, d.host, CAST(len(d.ln) AS INTEGER) AS n_lines,
+        |  CAST(len(d.ln) - coalesce(k.n_kept, 0) AS INTEGER) AS n_removed,
+        |  coalesce(k.text_clean, '') AS text_clean
+        |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // inverted bigram index: tf/df/band/postings all rebuilt over the
+    // gram STRINGS (the engine's xxhash64 keys carry a raise_error
+    // collision tripwire, so a silent merge is impossible)
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+        |    ELSE [] END) AS gram
+        |  FROM tok),
+        |tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram),
+        |lim AS (SELECT greatest(2, count(*) * 200 // 1000) AS max_df FROM documents),
+        |band AS (
+        |  SELECT gram, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+        |  FROM tf GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= (SELECT max_df FROM lim)),
+        |post AS (
+        |  SELECT tf.gram, string_agg(tf.doc_id, ',' ORDER BY tf.doc_id) AS postings
+        |  FROM tf JOIN band USING (gram) GROUP BY tf.gram)
+        |SELECT band.gram AS term, band.df, band.tf_total, post.postings
+        |FROM band JOIN post USING (gram)
+        |ORDER BY term""".stripMargin,
+    // BM25 search: the SAME integer-surrogate formula replayed term by
+    // term ('//' and Spark's 'div' both truncate on the non-negative
+    // operands used here, every sum is integral — exact agreement)
+    "q_bm25_search" ->
+      s"""WITH tok AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+         |  FROM documents),
+         |stats AS (SELECT count(*) AS nd, CAST(SUM(len(w)) AS BIGINT) AS tt FROM tok),
+         |q AS (SELECT DISTINCT lower(term) AS term
+         |      FROM (VALUES $bm25TermsValues) v(term)),
+         |ex AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM tok),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM ex JOIN q USING (term)
+         |  GROUP BY doc_id, dl, term),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    ((s.nd - dfx.df) * 1000 // (dfx.df + 1)) *
+         |    (tf.tf * ${IndexOps.BmK1Milli + 1000L} * 1000000 //
+         |      (tf.tf * 1000000 +
+         |       (${IndexOps.BmK1Milli} * (250000 + ${IndexOps.BmBMilli} *
+         |        (tf.dl * 1000 * s.nd // s.tt))) // 1000)) AS part
+         |  FROM tf JOIN dfx USING (term), stats s)
+         |SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score, count(*) AS n_terms
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // global compaction: DISTINCT over the partition-duplicated table
     "q_kg_compact" ->

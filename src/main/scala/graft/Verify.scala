@@ -37,7 +37,10 @@ object QueryGuard {
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional trailing args: dump only these queries (incremental
+    // rounds re-verify just what they touched; the driver passes none)
+    val subset = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,7 +54,10 @@ object Verify {
     // budget is spent building them; queries hit the _READY fast path
     val auxDir = AuxTables.ensure(spark, sfDir)
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong * 1000L
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val toRun =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(subset).toMap
+    toRun.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = QueryGuard.run(spark, name, timeoutMs) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -71,6 +71,58 @@ object CurationOps {
             "\n")).as("text_dedup"))
   }
 
+  /** Per-host boilerplate line removal — the CCNet-style step BETWEEN
+    * global line dedup and document dedup: a line is boilerplate for a
+    * host when it appears in at least `minDocFracMilli`/1000 of that
+    * host's documents (and the host has at least `minDocs` documents —
+    * below that the fraction is meaningless and nothing is removed).
+    * Unlike [[lineDedup]] (first occurrence survives globally), ALL
+    * occurrences of a boilerplate line are removed: a nav bar is noise in
+    * every copy. The threshold is integer math (`nd·1000 ≥ milli·n_docs`)
+    * so the SQL oracle replays the verdict exactly — no float boundary.
+    *
+    * Scale shape (the [[lineDedup]] discipline, keyed by host):
+    *   1. one narrow scan explodes (host, doc_id, pos, 16-byte line key)
+    *      — text dropped before any exchange;
+    *   2. per-(host, line) document frequency via TWO-LEVEL agg (pre-agg
+    *      on (host, key, doc_id), then count — the hostGraph pattern: an
+    *      exact distinct count with O(1) state per key, no
+    *      count_distinct expand);
+    *   3. host doc counts are a keys-only agg, joined to the line
+    *      frequencies (co-partitioned on host under AQE);
+    *   4. the boilerplate verdict anti-joins back to the keys-only line
+    *      frame and documents reassemble from retained positions — the
+    *      only pass that touches text again, and it is doc-local. */
+  def hostBoilerplate(docs: DataFrame, minDocs: Long = 3L,
+                      minDocFracMilli: Long = 500L): DataFrame = {
+    require(minDocs >= 1 && minDocFracMilli >= 1 && minDocFracMilli <= 1000)
+    val keyed = docs.select(col("host"), col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .select(Seq(col("host"), col("doc_id"), col("pos")) ++ lineKey(col("line")): _*)
+    val lineDf = keyed.groupBy(col("host"), col("h1"), col("h2"), col("doc_id"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("host"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("nd"))
+    val hostDocs = docs.groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+    val boiler = lineDf.join(hostDocs, Seq("host"))
+      .filter(col("n_docs") >= minDocs &&
+        col("nd") * 1000 >= lit(minDocFracMilli) * col("n_docs"))
+      .select(col("host"), col("h1"), col("h2"))
+    val retained = keyed.join(boiler, Seq("host", "h1", "h2"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("keep"))
+    docs.join(retained, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("host"),
+        size(split(col("text"), "\n")).as("n_lines"),
+        (size(split(col("text"), "\n")) - coalesce(size(col("keep")), lit(0)))
+          .as("n_removed"),
+        when(col("keep").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("keep"), p => element_at(split(col("text"), "\n"), p + 1)),
+            "\n")).as("text_clean"))
+  }
+
   /** Whitespace-token n-grams of a text column as an array of strings
     * (empty when the document has fewer than `n` tokens). */
   private[ops] def tokenNgrams(text: Column, n: Int): Column = {

@@ -636,11 +636,7 @@ object GraphMaterialize {
     * is checkpointed once (the multi-branch rule); every exchange
     * carries node-id pairs only. */
   def triangleCounts(triples: DataFrame): DataFrame = {
-    val und = triples
-      .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
-      .select(least(col("subj"), col("objValue")).as("a"),
-        greatest(col("subj"), col("objValue")).as("b"))
-      .distinct().localCheckpoint(true)
+    val und = undirectedEdges(triples)
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -697,6 +693,99 @@ object GraphMaterialize {
       .agg(count(lit(1)).as("m"))
       .groupBy(col("src_host"), col("dst_host"))
       .agg(sum(col("m")).as("n_edges"), count(lit(1)).as("n_subjects"))
+  }
+
+  /** The undirected simple graph of IRI-object edges — shared scan shape
+    * of [[triangleCounts]], [[labelPropagation]] and [[kCore]]: direction,
+    * predicate, duplicates, and self-loops all discarded, edges stored
+    * once as (a < b). Checkpointed: every caller fans it into multiple
+    * plan branches (the multi-branch rule). */
+  private def undirectedEdges(triples: DataFrame): DataFrame =
+    triples
+      .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
+      .select(least(col("subj"), col("objValue")).as("a"),
+        greatest(col("subj"), col("objValue")).as("b"))
+      .distinct().localCheckpoint(true)
+
+  /** Synchronous label propagation over the undirected IRI graph — the
+    * community signal used for host clustering, link-farm grouping, and
+    * entity-neighborhood partitioning. Every node starts as its own
+    * label; each round, every node adopts the most frequent label among
+    * its NEIGHBORS, ties broken to the LEXICALLY SMALLEST label — a fully
+    * deterministic update rule (classic async LPA is run-order dependent;
+    * the synchronous + total-tie-break variant has one answer per round
+    * count, which is what makes an exact cross-engine oracle possible).
+    * Output after `rounds` rounds: (node, community).
+    *
+    * Scale shape: the symmetrized edge frame is built once and
+    * checkpointed (it is re-joined every round). Per round: one equi-join
+    * of labels onto edge targets + one hash agg on (node, label) with
+    * map-side partial counts + one order-independent min(struct(-count,
+    * label)) agg — never a window over an unordered tie; labels are
+    * checkpointed per round so the plan stays O(1) deep (the hubScores
+    * loop discipline). All exchanges carry (id, label) pairs. Eager by
+    * contract. */
+  def labelPropagation(triples: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1)
+    val und = undirectedEdges(triples)
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("y"), col("community")), Seq("y"))
+        .groupBy(col("x"), col("community")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("x"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("community").as("l"))).as("m"))
+        .select(col("x").as("node"), col("m.l").as("community"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** k-core decomposition (membership at a fixed `k`): iteratively peel
+    * nodes of degree < k from the undirected IRI graph until a fixpoint;
+    * the survivors are the k-core — the standard "dense seed" extraction
+    * for community mining and spam-cluster analysis. Output: (node,
+    * core_deg) for every surviving node, core_deg = its degree WITHIN the
+    * core (≥ k by definition).
+    *
+    * Scale shape: the edge frame is checkpointed once; each peel round is
+    * two semi-joins (edges restricted to live endpoints) + one hash agg
+    * on 8-byte-keyed rows + a filter, with the live set checkpointed per
+    * round (O(1) plan depth). Convergence needs O(peel depth) rounds —
+    * bounded by the degeneracy ordering length, in practice ≤ 5 on web
+    * graphs for small k; the loop detects the fixpoint with a bounded
+    * driver-side count per round and REFUSES (raise, not truncate) if
+    * `maxRounds` passes without one, so a silently-unconverged core can
+    * never masquerade as the answer. */
+  def kCore(triples: DataFrame, k: Int = 2, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    val und = undirectedEdges(triples)
+    var alive = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+    var aliveCount = alive.count()
+    var rounds = 0
+    while (rounds < maxRounds) {
+      rounds += 1
+      val live = und
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      val deg = live.select(col("a").as("node"))
+        .unionByName(live.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      val next = deg.filter(col("core_deg") >= k).localCheckpoint(true)
+      val nextCount = next.count()
+      if (nextCount == aliveCount) return next
+      alive = next.select(col("node"))
+      aliveCount = nextCount
+      if (aliveCount == 0L) return next.select(col("node"), col("core_deg"))
+    }
+    throw new IllegalStateException(
+      s"kCore(k=$k) did not reach a fixpoint in $maxRounds rounds")
   }
 
   /** Anchor-text consensus per link target: for every href, the total

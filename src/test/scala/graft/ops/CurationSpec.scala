@@ -27,6 +27,55 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((2, 0, "")), out(3L))
   }
 
+  test("hostBoilerplate: host-frequent lines strip everywhere, small hosts bypass") {
+    import spark.implicits._
+    val docs = Seq(
+      // host A (4 docs): "nav" in 3/4 (750 >= 500 milli -> boilerplate),
+      // "rare" in 1/4 (250 < 500 -> kept)
+      (0L, "A", "nav\nalpha"),
+      (1L, "A", "nav\nbeta\nrare"),
+      (2L, "A", "nav"),
+      (3L, "A", "gamma"),
+      // host B (2 docs < minDocs=3): nothing removed even at 2/2
+      (4L, "B", "nav\ndelta"),
+      (5L, "B", "nav"),
+      // host C (4 docs): boundary case, exactly 2/4 = 500 milli -> removed
+      (6L, "C", "foot\neps"),
+      (7L, "C", "foot"),
+      (8L, "C", "zeta"),
+      (9L, "C", "eta")
+    ).toDF("doc_id", "host", "text")
+    val out = CurationOps.hostBoilerplate(docs, minDocs = 3L, minDocFracMilli = 500L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_lines"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("text_clean"))))
+      .toMap
+    assert(out(0L) == ((2, 1, "alpha")), out(0L))
+    assert(out(1L) == ((3, 1, "beta\nrare")), out(1L))
+    assert(out(2L) == ((1, 1, "")), out(2L))
+    assert(out(3L) == ((1, 0, "gamma")), out(3L))
+    assert(out(4L) == ((2, 0, "nav\ndelta")), out(4L))
+    assert(out(5L) == ((1, 0, "nav")), out(5L))
+    assert(out(6L) == ((2, 1, "eps")), out(6L))
+    assert(out(7L) == ((1, 1, "")), out(7L))
+    assert(out(8L) == ((1, 0, "zeta")), out(8L))
+    assert(out(9L) == ((1, 0, "eta")), out(9L))
+  }
+
+  test("hostBoilerplate: removal is host-scoped — the same line survives on a quiet host") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "X", "promo\na"), (1L, "X", "promo\nb"), (2L, "X", "promo\nc"),
+      (3L, "Y", "promo\nd"), (4L, "Y", "e"), (5L, "Y", "f"), (6L, "Y", "g")
+    ).toDF("doc_id", "host", "text")
+    val out = CurationOps.hostBoilerplate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
+    // promo is 3/3 on X (stripped) but 1/4 on Y (kept)
+    assert(out(0L) == "a" && out(1L) == "b" && out(2L) == "c")
+    assert(out(3L) == "promo\nd")
+  }
+
   test("scrubPii: emails, IPs, and phones redact with correct counts; clean text untouched") {
     import spark.implicits._
     val docs = Seq(

@@ -469,4 +469,92 @@ class GraphPropertySpec extends AnyFunSuite {
       assert(got.toSeq.map(_._3).sum == rows.size, s"seed=$seed")
     }
   }
+
+  /** Sequential synchronous LPA over an undirected simple edge list, the
+    * identical update rule as the engine: most frequent neighbor label,
+    * ties to the lexically smallest. */
+  private def seqLpa(edges: Seq[(String, String)], rounds: Int): Map[String, String] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: synchronous rounds == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(51, 52, 53)) {
+      val rows = randomTriples(seed, nodes = 25, edges = 120)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue")
+      for (rounds <- Seq(1, 4)) {
+        val got = GraphMaterialize.labelPropagation(df, rounds)
+          .as[(String, String)].collect().toMap
+        val und = rows.collect { case (s, _, k, o) if k == 0 && s != o =>
+          if (s < o) (s, o) else (o, s)
+        }.distinct
+        assert(got == seqLpa(und, rounds), s"seed=$seed rounds=$rounds")
+      }
+    }
+  }
+
+  /** Sequential k-core peel: drop nodes of degree < k until stable;
+    * return each survivor's in-core degree. */
+  private def seqKCore(edges: Seq[(String, String)], k: Int): Map[String, Long] = {
+    var live = (edges.map(_._1) ++ edges.map(_._2)).distinct.toSet
+    var stable = false
+    var deg = Map.empty[String, Long]
+    while (!stable) {
+      val e = edges.filter { case (a, b) => live(a) && live(b) }
+      deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+      val next = deg.filter(_._2 >= k).keySet
+      stable = next == live
+      live = next
+    }
+    deg.filter { case (n, d) => live(n) && d >= k }
+  }
+
+  test("kCore: distributed peel == sequential reference") {
+    import spark.implicits._
+    for (seed <- Seq(61, 62, 63); k <- Seq(2, 3)) {
+      val rows = randomTriples(seed, nodes = 30, edges = 90)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue")
+      val got = GraphMaterialize.kCore(df, k)
+        .as[(String, Long)].collect().toMap
+      val und = rows.collect { case (s, _, kk, o) if kk == 0 && s != o =>
+        if (s < o) (s, o) else (o, s)
+      }.distinct
+      assert(got == seqKCore(und, k), s"seed=$seed k=$k")
+    }
+  }
+
+  test("kCore: a graph whose k-core is empty returns an empty frame, no throw") {
+    import spark.implicits._
+    // a path graph has no 2-core (every peel removes the endpoints)
+    val rows = (0 until 6).map(i => (s"n$i", "p", 0.toByte, s"n${i + 1}"))
+    val df = rows.toDF("subj", "pred", "objKind", "objValue")
+    assert(GraphMaterialize.kCore(df, k = 2).count() == 0L)
+  }
+
+  test("kCore: the seeded KG corpus reaches its 2-core fixpoint within 3 rounds") {
+    // the q_kg_kcore oracle unrolls the peel a fixed 6 rounds; the engine
+    // early-exits at the fixpoint. This pins the convergence margin the
+    // oracle relies on: the aux corpus (KgPages pages, seed 42) converges
+    // in <= 3 rounds, so 6 = convergence + slack and a corpus drift that
+    // slowed the peel would fail HERE, not silently in CORRECTNESS.
+    import spark.implicits._
+    val pages = PageGen.pages(spark, graft.AuxTables.KgPages, seed = 42L, partitions = 8)
+    val triples = TripleEmit.pipeline(pages).toDF().localCheckpoint(true)
+    val capped = GraphMaterialize.kCore(triples, k = 2, maxRounds = 3)
+      .as[(String, Long)].collect().toMap
+    val free = GraphMaterialize.kCore(triples, k = 2)
+      .as[(String, Long)].collect().toMap
+    assert(capped == free)
+    assert(capped.nonEmpty, "the seeded corpus should have a non-trivial 2-core")
+  }
 }
