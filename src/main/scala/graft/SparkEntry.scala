@@ -1007,7 +1007,29 @@ object SparkEntry {
       GraphValidate.validate(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
         GraphValidate.CorpusShapes)
-        .orderBy(col("focus"), col("cls"), col("pred"), col("code")))
+        .orderBy(col("focus"), col("cls"), col("pred"), col("code"))),
+    // HyperLogLog distinct-object cardinality per predicate — the sketch
+    // replacement for COUNT(DISTINCT) whose shuffle is O(preds × 2^p)
+    // bytes instead of O(rows). Gated columns are the EXACT integer
+    // register summary (n_zero + split harmonic sum); the oracle
+    // re-derives the registers from the raw strings in pure SQL
+    // (FNV-1a via list_reduce, mix64 via 32-bit-split mulmod) — nothing
+    // is trusted from the engine. The float estimator is spec-asserted
+    // (SketchSpec) at <5% error, never hash-compared.
+    "q_kg_hll_pred" -> ((s, dir) =>
+      SketchOps.distinctSketch(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        groupCol = "pred", valueCol = "objValue", p = 12)
+        .orderBy(col("pred"))),
+    // HyperBall radius-2 out-neighborhood registers per IRI node — the
+    // skew-proof sketch twin of q_kg_twohop: no degree cap, hub fan-in
+    // absorbed by map-side register max-merge; oracle = exact 2-hop
+    // reach sets (unrolled CTE) pushed through the same register math
+    "q_kg_hyperball" -> ((s, dir) =>
+      SketchOps.hyperBall(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        radius = 2, p = 8)
+        .orderBy(col("node")))
   )
 
   /** DuckDB-equivalent SQL per oracle-able query; column names must match
@@ -2315,8 +2337,91 @@ object SparkEntry {
         |  SELECT focus, cls, pred, 'nodeKind' FROM ev WHERE bad_kind > 0
         |  UNION ALL
         |  SELECT focus, cls, pred, 'datatype' FROM ev WHERE bad_dtype > 0)
-        |ORDER BY focus, cls, pred, code""".stripMargin
+        |ORDER BY focus, cls, pred, code""".stripMargin,
+    "q_kg_hll_pred" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT pred AS grp, objValue AS s
+         |  FROM read_parquet('{AUX}/triples/*.parquet')),
+         |vals AS (SELECT DISTINCT s FROM pairs),
+         |$hllHashedCtes,
+         |${hllSummarySql(p = 12, grpName = "pred")}""".stripMargin,
+    "q_kg_hyperball" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT subj AS src, objValue AS dst
+         |  FROM read_parquet('{AUX}/triples/*.parquet')
+         |  WHERE objKind = 0 AND subj <> objValue),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |r1 AS (
+         |  SELECT node AS grp, node AS s FROM nodes
+         |  UNION SELECT src AS grp, dst AS s FROM edges),
+         |pairs AS (
+         |  SELECT grp, s FROM r1
+         |  UNION SELECT r.grp, e.dst AS s FROM r1 r JOIN edges e ON r.s = e.src),
+         |vals AS (SELECT DISTINCT s FROM pairs),
+         |$hllHashedCtes,
+         |${hllSummarySql(p = 8, grpName = "node")}""".stripMargin
   )
+
+  /** mix64∘fnv1a64 re-derived in pure DuckDB SQL (the SketchOps sketch
+    * hash): FNV's wrap-around multiply fits HUGEINT directly (prime is
+    * 2^40-scale); the two mix64 multiplies use a 32-bit-split mulmod so
+    * no intermediate exceeds 2^66. Consumes a CTE `vals(s)`, yields
+    * `hashed(s, h UBIGINT)`. Verified char-for-char against TextHash on
+    * the corpus (plus '' — list_filter guards split's ['']-on-empty). */
+  private def hllHashedCtes: String = {
+    def mulmod(c: String): String =
+      s"""( (z % 4294967296) * ($c::HUGEINT % 4294967296)
+         |   + ((( (z % 4294967296) * ($c::HUGEINT // 4294967296)
+         |       + (z // 4294967296) * ($c::HUGEINT % 4294967296)
+         |       ) % 4294967296) * 4294967296)
+         |   ) % 18446744073709551616::HUGEINT""".stripMargin
+    s"""fnv AS (
+       |  SELECT s, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(list_filter(split(s, ''), c -> c <> ''),
+       |                     c -> CAST(unicode(c) AS HUGEINT))),
+       |    (h, c) -> ((xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)))::HUGEINT
+       |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+       |  ) AS h FROM vals),
+       |ms1 AS (SELECT s, (h + 11400714819323198485::HUGEINT)
+       |          % 18446744073709551616::HUGEINT AS z FROM fnv),
+       |mx1 AS (SELECT s, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30)::HUGEINT AS z FROM ms1),
+       |mm1 AS (SELECT s, ${mulmod("13787848793156543929")} AS z FROM mx1),
+       |mx2 AS (SELECT s, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27)::HUGEINT AS z FROM mm1),
+       |mm2 AS (SELECT s, ${mulmod("10723151780598845931")} AS z FROM mx2),
+       |hashed AS (SELECT s, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h FROM mm2)""".stripMargin
+  }
+
+  /** Bucket/rho/register/summary SQL for precision `p`, mirroring
+    * SketchOps exactly: bucket = top p bits, rho = 1 + leading zeros of
+    * the K-bit suffix (K+1 if zero), per-bucket max, then the split
+    * harmonic sum (term 2^(K+1-rho) as hi = term>>28 / lo = term&(2^28-1))
+    * with untouched buckets contributing 2^(K+1) each. Consumes
+    * `pairs(grp, s)` + `hashed`; emits (grp AS `grpName`, n_zero, s_hi,
+    * s_lo) ordered by group. */
+  private def hllSummarySql(p: Int, grpName: String): String = {
+    val k = 64 - p
+    val cap = k + 1
+    val m = 1 << p
+    val zeroHi = 1L << (cap - 28)
+    s"""br AS (
+       |  SELECT pairs.grp, CAST(h >> $k AS BIGINT) AS bucket,
+       |    CASE WHEN (h & ((1::UBIGINT << $k) - 1)) = 0::UBIGINT THEN $cap
+       |         ELSE $cap - length(bin(h & ((1::UBIGINT << $k) - 1))) END AS rho
+       |  FROM pairs JOIN hashed USING (s)),
+       |reg AS (SELECT grp, bucket, max(rho) AS r FROM br GROUP BY 1, 2),
+       |summ AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN $cap - r >= 28
+       |      THEN (CAST(1 AS BIGINT) << CAST($cap - r - 28 AS INT)) ELSE 0 END) AS BIGINT) AS hi_nz,
+       |    CAST(sum(CASE WHEN $cap - r < 28
+       |      THEN (CAST(1 AS BIGINT) << CAST($cap - r AS INT)) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM reg GROUP BY grp)
+       |SELECT grp AS $grpName, CAST($m - n_b AS BIGINT) AS n_zero,
+       |  CAST(hi_nz + ($m - n_b) * $zeroHi AS BIGINT) AS s_hi,
+       |  lo AS s_lo
+       |FROM summ ORDER BY $grpName""".stripMargin
+  }
 
   /** Inlined (band, key) probe list for the ANN oracle — a deterministic
     * function of the fixed query vector and the pinned sketch params. */

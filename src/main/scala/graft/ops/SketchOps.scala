@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog cardinality sketches and their webgraph application
+  * (HyperBall-style r-hop neighborhood-size estimation).
+  *
+  * Why this exists at 100 TB: `COUNT(DISTINCT x) GROUP BY g` shuffles
+  * every distinct (g, x) pair — at 10^12 documents that is the full
+  * corpus over the wire. The HLL register array is a fixed 2^p bytes of
+  * mergeable state per group: the typed `Aggregator` below folds rows
+  * into registers ON THE MAP SIDE and only the m-byte buffers cross the
+  * exchange, so the shuffle is O(groups × m) regardless of row count —
+  * the canonical sketch win (Flajolet et al. 2007; HyperBall per
+  * Boldi & Vigna, "In-core computation of geometric centralities with
+  * HyperBall", 2013 — both public papers, see PAPERS.md).
+  *
+  * Determinism contract (what makes these DuckDB-oracle-checkable, unlike
+  * Spark's own `approx_count_distinct`): the hash is the repo's
+  * mix64∘fnv1a64 ([[TextHash]]), a pure function of the string; register
+  * merge is an elementwise max (associative, commutative, idempotent) —
+  * so the register state is independent of partitioning, task order, and
+  * cluster size, and the oracle re-derives the registers from the raw
+  * strings in pure SQL (FNV loop via `list_reduce`, the two mix64
+  * multiplies via 32-bit-split mulmod, rho via `length(bin(suffix))`).
+  * No approximation enters the CORRECTNESS gate: the gated columns are
+  * the exact integer register summary; the float estimate lives in
+  * [[estimate]] and is accuracy-asserted in SketchSpec.
+  *
+  * Register summary encoding: with K = 64-p, a register holds
+  * rho ∈ [0, K+1] (0 = never touched). The harmonic sum Σ 2^-rho is
+  * carried exactly as the pair (s_hi, s_lo): each bucket contributes
+  * term = 2^(K+1-rho), split as s_hi += term >> 28, s_lo += term & (2^28-1).
+  * Both halves stay ≤ 2^40 for p ≤ 12, so BIGINT arithmetic in both
+  * engines is exact and overflow-free; Σ 2^-rho = ((s_hi<<28)+s_lo) / 2^(K+1).
+  */
+object SketchOps {
+
+  /** The sketch hash: one avalanche-mixed 64-bit value per string. */
+  @inline def hash64(s: String): Long =
+    TextHash.mix64(TextHash.fnv1a64(s, 0, s.length))
+
+  /** Top p bits select the register. */
+  @inline def bucketOf(h: Long, p: Int): Int = (h >>> (64 - p)).toInt
+
+  /** Rank of the remaining K = 64-p bits: 1 + leading-zero count within
+    * the K-bit window (K+1 when the whole window is zero). Matches the
+    * oracle's `65 - p - length(bin(suffix))`. */
+  @inline def rhoOf(h: Long, p: Int): Byte = {
+    val suffix = h & ((1L << (64 - p)) - 1L)
+    if (suffix == 0L) (64 - p + 1).toByte
+    else (java.lang.Long.numberOfLeadingZeros(suffix) - p + 1).toByte
+  }
+
+  /** A fresh register array with only `s`'s own register set — the
+    * HyperBall ball(v, 0) = {v} initial state. */
+  def registersOf(s: String, p: Int): Array[Byte] = {
+    val regs = new Array[Byte](1 << p)
+    val h = hash64(s)
+    regs(bucketOf(h, p)) = rhoOf(h, p)
+    regs
+  }
+
+  /** Exact integer summary of a register array (see encoding note above).
+    * n_zero additionally feeds linear counting in [[estimate]]. */
+  final case class HllSummary(n_zero: Long, s_hi: Long, s_lo: Long)
+
+  def summarize(regs: Array[Byte], p: Int): HllSummary = {
+    val kp1 = 64 - p + 1
+    var zeros = 0L; var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < regs.length) {
+      val e = kp1 - (regs(i) & 0xFF) // term = 2^e, e ∈ [0, K+1]
+      if (e == kp1) zeros += 1L
+      if (e >= 28) hi += 1L << (e - 28) else lo += 1L << e
+      i += 1
+    }
+    HllSummary(zeros, hi, lo)
+  }
+
+  /** The standard HLL estimator (bias-corrected raw + linear counting for
+    * the small range) over the exact summary. Spec-asserted accuracy;
+    * never part of the hash-matched oracle row (it is IEEE float math). */
+  def estimate(s: HllSummary, p: Int): Double = {
+    val m = 1 << p
+    val alpha =
+      if (m <= 16) 0.673 else if (m <= 32) 0.697 else if (m <= 64) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    val sumScaled = (BigInt(s.s_hi) << 28) + BigInt(s.s_lo) // Σ 2^(K+1-rho)
+    val raw = alpha * m.toDouble * m.toDouble *
+      math.pow(2.0, 64 - p + 1) / sumScaled.toDouble
+    if (raw <= 2.5 * m && s.n_zero > 0) m * math.log(m.toDouble / s.n_zero)
+    else raw
+  }
+
+  /** Typed HLL aggregator: String in, m-byte register buffer across the
+    * shuffle, exact integer summary out. Buffer mutation is safe — Spark
+    * gives each group its own buffer instance and reduce/merge own it. */
+  class HllAgg(p: Int) extends Aggregator[String, Array[Byte], HllSummary] {
+    override def zero: Array[Byte] = new Array[Byte](1 << p)
+    override def reduce(b: Array[Byte], s: String): Array[Byte] = {
+      if (s != null) {
+        val h = hash64(s)
+        val i = bucketOf(h, p)
+        val r = rhoOf(h, p)
+        if ((b(i) & 0xFF) < (r & 0xFF)) b(i) = r
+      }
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) {
+        if ((b(i) & 0xFF) > (a(i) & 0xFF)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+    override def finish(b: Array[Byte]): HllSummary = summarize(b, p)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[HllSummary] = Encoders.product[HllSummary]
+  }
+
+  /** Register-array max-merge (HyperBall's union step): the ball registers
+    * of a node are the elementwise max of its own and its successors'. */
+  class RegMergeAgg(p: Int) extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](1 << p)
+    override def reduce(b: Array[Byte], in: Array[Byte]): Array[Byte] = merge(b, in)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) {
+        if ((b(i) & 0xFF) > (a(i) & 0xFF)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Astral code points (> U+FFFF) hash as surrogate PAIRS on the JVM but
+    * as single code points in the oracle's SQL — refuse them loudly
+    * rather than let the two engines silently diverge. The synthetic
+    * corpus is ASCII; a production corpus would pin one convention. */
+  private def asciiGuarded(c: org.apache.spark.sql.Column) =
+    when(c.rlike("[\\x{10000}-\\x{10FFFF}]"),
+      raise_error(concat(lit("sketch hash: astral code point in "), c)))
+      .otherwise(c)
+
+  /** Per-group distinct-cardinality register summary:
+    * (group, n_zero, s_hi, s_lo), one row per group.
+    *
+    * Plan shape: a single hash-aggregate — partial HllAgg buffers on the
+    * map side, m-byte buffers through the exchange, final merge+summarize
+    * on the reduce side. No distinct, no second shuffle. */
+  def distinctSketch(df: DataFrame, groupCol: String, valueCol: String, p: Int): DataFrame = {
+    val agg = functions.udaf(new HllAgg(p), Encoders.STRING)
+    df.groupBy(col(groupCol))
+      .agg(agg(asciiGuarded(col(valueCol))).as("hll"))
+      .select(col(groupCol),
+        col("hll.n_zero").as("n_zero"),
+        col("hll.s_hi").as("s_hi"),
+        col("hll.s_lo").as("s_lo"))
+  }
+
+  /** HyperBall: for every node of the directed IRI graph, the HLL
+    * register summary of its radius-`radius` out-ball (self included).
+    *
+    * Per round: contributions = edges ⋈ state (register arrays ride the
+    * join keyed by edge target), then one max-merge hash-aggregate per
+    * node. State is localCheckpoint'd each round — the repo's
+    * multi-branch/iterative-plan rule (pointer-jumping lesson, BENCH/
+    * PLANS.md): without it round r replays rounds 1..r-1.
+    *
+    * Scale: state is |V| × 2^p bytes; the join shuffles register arrays
+    * once per round with map-side partial max-merge absorbing hub
+    * fan-in — no degree cap needed, unlike exact twoHopCounts, which is
+    * the point of the sketch (Boldi & Vigna 2013). */
+  def hyperBall(triples: DataFrame, radius: Int, p: Int): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val merge = functions.udaf(new RegMergeAgg(p), Encoders.BINARY)
+
+    val edges = triples
+      .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
+      .select(asciiGuarded(col("subj")).as("src"), asciiGuarded(col("objValue")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+
+    var state = nodes.as[String].map(n => (n, registersOf(n, p)))
+      .toDF("node", "regs")
+      .localCheckpoint(true)
+    var r = 0
+    while (r < radius) {
+      val contrib = edges.join(state, edges("dst") === state("node"))
+        .select(edges("src").as("node"), col("regs"))
+      state = state.union(contrib)
+        .groupBy("node").agg(merge(col("regs")).as("regs"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    state.as[(String, Array[Byte])]
+      .map { case (n, regs) =>
+        val s = summarize(regs, p)
+        (n, s.n_zero, s.s_hi, s.s_lo)
+      }
+      .toDF("node", "n_zero", "s_hi", "s_lo")
+  }
+}
