@@ -31,6 +31,20 @@ object SparkEntry {
   /** Iteration count shared by q_kg_hubs and its oracle. */
   private val HubIterations = 6
 
+  /** Full (auth then hub) iteration count shared by q_kg_hits and its
+    * oracle. 3 suffices: HITS max-rescaled integer scores separate the
+    * seeded hub/authority structure by round 2 and the oracle unroll
+    * stays auditable. */
+  private val HitsIterations = 3
+
+  /** CMS shape shared by q_kg_cms_hot and its oracle: 4 rows × 1024
+    * columns (32 KB of counters), heavy-hitter cutoff 50 mentions —
+    * sized so the fixed 500-page aux KG (max entity mention count ~131)
+    * yields a stable non-trivial heavy set at every SF. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val CmsThreshold = 50L
+
   /** Round count shared by q_kg_communities and its oracle. */
   private val LpaRounds = 4
 
@@ -70,6 +84,70 @@ object SparkEntry {
     s"""$hubCtes
        |SELECT node, score FROM pr$HubIterations
        |ORDER BY score DESC, node LIMIT 100""".stripMargin
+
+  /** The HITS oracle: GraphMaterialize.hitsScores' half-steps unrolled —
+    * each computes raw integer in-sums then rescales by the exact scalar
+    * MAX (GREATEST(...,1) mirrors the engine's empty-frame guard);
+    * truncating `//` == Spark `div` on the non-negative operands, so the
+    * two engines agree bit-for-bit. */
+  private def hitsOracleSql: String = {
+    val steps = (1 to HitsIterations).map { i =>
+      s"""a${i}r AS (
+         |  SELECT e.dst AS node, CAST(SUM(s.h) AS BIGINT) AS raw
+         |  FROM h${i - 1} s JOIN edges e ON s.node = e.src GROUP BY 1),
+         |a$i AS (
+         |  SELECT nd.node, CAST((COALESCE(r.raw, 0) * 1000000)
+         |    // GREATEST((SELECT MAX(raw) FROM a${i}r), 1) AS BIGINT) AS a
+         |  FROM nodes nd LEFT JOIN a${i}r r USING (node)),
+         |h${i}r AS (
+         |  SELECT e.src AS node, CAST(SUM(s.a) AS BIGINT) AS raw
+         |  FROM a$i s JOIN edges e ON s.node = e.dst GROUP BY 1),
+         |h$i AS (
+         |  SELECT nd.node, CAST((COALESCE(r.raw, 0) * 1000000)
+         |    // GREATEST((SELECT MAX(raw) FROM h${i}r), 1) AS BIGINT) AS h
+         |  FROM nodes nd LEFT JOIN h${i}r r USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT subj AS src, objValue AS dst
+       |  FROM read_parquet('{AUX}/triples/*.parquet')
+       |  WHERE objKind = 0 AND subj <> objValue),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$steps
+       |SELECT a.node, a.a AS auth, h.h AS hub
+       |FROM a$HitsIterations a JOIN h$HitsIterations h USING (node)
+       |ORDER BY auth DESC, hub DESC, node LIMIT 100""".stripMargin
+  }
+
+  /** The CMS oracle: counters and min-estimates re-derived from the raw
+    * mention strings — the shared hash CTEs ([[hllHashedCtes]]) produce
+    * h, then Kirsch-Mitzenmacher h1/h2 and the per-row columns are plain
+    * integer arithmetic (h2 forced odd exactly as SketchOps.cmsCol;
+    * `& (w-1)` == `% w` on non-negatives with the power-of-two width). */
+  private def cmsOracleSql: String =
+    s"""WITH m AS (
+       |  SELECT objValue AS ent
+       |  FROM read_parquet('{AUX}/triples/*.parquet') WHERE objKind = 0),
+       |cnt AS (SELECT ent, count(*) AS c FROM m GROUP BY 1),
+       |vals AS (SELECT DISTINCT ent AS s FROM m),
+       |$hllHashedCtes,
+       |hs AS (
+       |  SELECT s, CAST(h >> 32 AS BIGINT) AS h1,
+       |    CAST(CASE WHEN (h & ((1::UBIGINT << 32) - 1)) % 2 = 0
+       |         THEN (h & ((1::UBIGINT << 32) - 1)) + 1
+       |         ELSE (h & ((1::UBIGINT << 32) - 1)) END AS BIGINT) AS h2
+       |  FROM hashed),
+       |lk AS (
+       |  SELECT s, j, (h1 + j * h2) % $CmsWidth AS col
+       |  FROM hs CROSS JOIN (SELECT unnest(range($CmsDepth)) AS j)),
+       |reg AS (
+       |  SELECT lk.j, lk.col, CAST(SUM(cnt.c) AS BIGINT) AS rc
+       |  FROM lk JOIN cnt ON cnt.ent = lk.s GROUP BY 1, 2),
+       |est AS (
+       |  SELECT lk.s AS ent, CAST(MIN(reg.rc) AS BIGINT) AS est_count
+       |  FROM lk JOIN reg USING (j, col) GROUP BY 1)
+       |SELECT ent, est_count FROM est
+       |WHERE est_count >= $CmsThreshold ORDER BY ent""".stripMargin
 
   /** LPA oracle: the synchronous rounds unrolled as chained CTEs, the
     * per-node argmax expressed as a row_number over (cnt DESC, community
@@ -1029,7 +1107,33 @@ object SparkEntry {
       SketchOps.hyperBall(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
         radius = 2, p = 8)
-        .orderBy(col("node")))
+        .orderBy(col("node"))),
+    // Count-Min heavy hitters over the entity-mention stream — the
+    // fixed-memory hot-key detector that FINDS the broadcast dictionary
+    // (an exact groupBy over 10^12 mentions is the shuffle the sketch
+    // avoids: only the 4×1024 counter matrix crosses the exchange).
+    // Gated output is exact integers: the oracle re-derives every
+    // counter and the min-estimate from the raw strings in SQL (same
+    // hash CTEs as the HLL queries; Kirsch-Mitzenmacher row columns are
+    // one integer expression). CMS never underestimates, so the heavy
+    // set is a superset of the true one by construction.
+    "q_kg_cms_hot" -> ((s, dir) => {
+      val mentions = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+        .filter(col("objKind") === 0)
+        .select(col("objValue").as("ent"))
+      SketchOps.cmsHeavyHitters(mentions, mentions.distinct(), "ent", "ent",
+        d = CmsDepth, w = CmsWidth, threshold = CmsThreshold)
+        .orderBy(col("ent"))
+    }),
+    // HITS hubs/authorities (integer max-rescaled fixed point) — the
+    // directory-vs-reference axis PageRank can't separate; oracle = the
+    // same half-steps unrolled as chained CTEs with scalar MAX subqueries
+    "q_kg_hits" -> ((s, dir) =>
+      GraphMaterialize.hitsScores(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        iterations = HitsIterations)
+        .orderBy(col("auth").desc, col("hub").desc, col("node"))
+        .limit(100))
   )
 
   /** DuckDB-equivalent SQL per oracle-able query; column names must match
@@ -2345,6 +2449,8 @@ object SparkEntry {
          |vals AS (SELECT DISTINCT s FROM pairs),
          |$hllHashedCtes,
          |${hllSummarySql(p = 12, grpName = "pred")}""".stripMargin,
+    "q_kg_cms_hot" -> cmsOracleSql,
+    "q_kg_hits" -> hitsOracleSql,
     "q_kg_hyperball" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT subj AS src, objValue AS dst

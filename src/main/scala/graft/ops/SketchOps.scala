@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
@@ -210,5 +211,102 @@ object SketchOps {
         (n, s.n_zero, s.s_hi, s.s_lo)
       }
       .toDF("node", "n_zero", "s_hi", "s_lo")
+  }
+
+  // -------------------------------------------------------------------
+  // Count-Min Sketch: the FREQUENCY twin of the HLL cardinality sketch
+  // (Cormode & Muthukrishnan 2005, public paper — PAPERS.md). Where HLL
+  // answers "how many distinct?", CMS answers "roughly how often?" in
+  // the same fixed-memory mergeable-state shape: a d×w counter matrix
+  // folded on the map side, only d·w longs crossing the exchange — the
+  // hot-key detector a 10^12-row mention stream needs (the broadcast
+  // dictionary in linkEntitiesScalable must be FOUND before it can be
+  // broadcast, and an exact groupBy over the stream is the very shuffle
+  // the sketch exists to avoid).
+  //
+  // Determinism contract (same as HLL): counters are integer SUMS —
+  // associative/commutative — so the register matrix is a pure function
+  // of the input multiset, independent of partitioning and task order,
+  // and the oracle re-derives every register from the raw strings in
+  // SQL. The d row-hashes are Kirsch-Mitzenmacher double hashing off the
+  // single mix64∘fnv1a64 value: h1 = top 32 bits, h2 = low 32 bits
+  // forced odd (odd ⇒ coprime with the power-of-two width, so no row
+  // degenerates), col_j = (h1 + j·h2) mod w — trivially re-expressible
+  // in the oracle's integer SQL, unlike d independent seeded hashes.
+  // -------------------------------------------------------------------
+
+  /** Row-j column of value-hash `h` in a width-`w` (power of two) CMS. */
+  @inline def cmsCol(h: Long, j: Int, w: Int): Int = {
+    val h1 = h >>> 32
+    val h2 = (h & 0xFFFFFFFFL) | 1L
+    ((h1 + j * h2) & (w - 1)).toInt
+  }
+
+  /** Typed CMS aggregator: String in, d·w-long counter matrix (row-major)
+    * as buffer and output. Buffer mutation is safe — Spark gives each
+    * group its own buffer and reduce/merge own it. */
+  class CmsAgg(d: Int, w: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+    require((w & (w - 1)) == 0 && w > 0, s"CMS width must be a power of two, got $w")
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(b: Array[Long], s: String): Array[Long] = {
+      if (s != null) {
+        val h = hash64(s)
+        var j = 0
+        while (j < d) { b(j * w + cmsCol(h, j, w)) += 1L; j += 1 }
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The d×w counter matrix of `valueCol`'s multiset — ONE hash-aggregate
+    * (map-side partial matrices, one d·w·8-byte buffer per partition
+    * through the exchange), then a bounded driver collect of the single
+    * merged matrix (d·w·8 bytes — 32 KB at the default 4×1024, same
+    * bounded-collect class as the 32 IVF centroids). */
+  def cmsRegisters(df: DataFrame, valueCol: String, d: Int, w: Int): Array[Long] = {
+    val agg = functions.udaf(new CmsAgg(d, w), Encoders.STRING)
+    df.select(asciiGuarded(col(valueCol)).as("v"))
+      .agg(agg(col("v")).as("regs"))
+      .head().getAs[scala.collection.Seq[Long]]("regs").toArray
+  }
+
+  /** Point-estimate `min_j regs[j][col_j(value)]` for each candidate, kept
+    * when ≥ `threshold`. CMS never underestimates, so every true heavy
+    * hitter survives; collisions can only add false positives, bounded by
+    * the standard (e/w)·N guarantee. The matrix rides a broadcast (32 KB);
+    * the candidate pass is a zero-shuffle map. Candidates are the
+    * caller's: at toy scale the distinct values, at 10^12 rows a term
+    * dictionary or per-partition local-top-k union (any global heavy
+    * hitter is heavy in ≥1 partition, so the union is a superset).
+    * Eager by contract (like the dedup sketch builders): calling this
+    * runs the register-build job. */
+  def cmsHeavyHitters(items: DataFrame, candidates: DataFrame, valueCol: String,
+      candCol: String, d: Int, w: Int, threshold: Long): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val regs = cmsRegisters(items, valueCol, d, w)
+    val bc = spark.sparkContext.broadcast(regs)
+    candidates.select(asciiGuarded(col(candCol)).as("v")).as[String]
+      .map { s =>
+        val h = hash64(s)
+        var est = Long.MaxValue
+        var j = 0
+        while (j < d) {
+          val c = bc.value(j * w + cmsCol(h, j, w))
+          if (c < est) est = c
+          j += 1
+        }
+        (s, est)
+      }
+      .toDF(candCol, "est_count")
+      .filter(col("est_count") >= threshold)
   }
 }

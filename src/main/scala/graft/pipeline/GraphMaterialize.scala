@@ -518,6 +518,67 @@ object GraphMaterialize {
     scores
   }
 
+  /** HITS hubs/authorities over the directed entity graph (Kleinberg
+    * 1999, public paper — PAPERS.md): the mutually-recursive twin of
+    * [[hubScores]]' PageRank — auth(v) = Σ hub(u) over in-edges,
+    * hub(u) = Σ auth(v) over out-edges. PageRank ranks by endorsement
+    * mass; HITS separates DIRECTORY pages (hubs: link out to many good
+    * authorities) from REFERENCE pages (authorities: linked from many
+    * good hubs) — on a crawl graph those are different axes, and the
+    * hot-head broadcast dictionary wants the authority axis while crawl
+    * scheduling wants the hub axis.
+    *
+    * Integer fixed-point, same rule as [[hubScores]]: float power
+    * iteration normalizes by an L2 norm whose distributed sum is
+    * order-sensitive in the last ulp, so instead each half-step rescales
+    * by the exact integer MAX — `x' = x * 1e6 div max(x)` — which is a
+    * pure function of the score multiset (max is exact, sums are
+    * integral, `div`/`//` truncate identically on non-negatives). The
+    * oracle unrolls the same half-steps as chained CTEs with scalar
+    * MAX subqueries. Overflow bound: raw ≤ max_degree·1e6 and the
+    * rescale multiply caps at raw·1e6 ≤ 1e18 for max_degree < 1e6 —
+    * comfortable in a signed long for any degree-capped crawl graph.
+    *
+    * Scale shape: edges/nodes built once and localCheckpointed; per
+    * half-step one equi-join + one hash agg over 16-byte rows with
+    * map-side partial sums; the max is a bounded scalar collect (one
+    * long). Scores checkpoint per step so the plan stays O(1) deep
+    * (the multi-branch rule). Eager by contract. */
+  def hitsScores(triples: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = triples
+      .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
+      .select(col("subj").as("src"), col("objValue").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+
+    // one rescaled half-step: raw in-sums joined back onto all nodes
+    // (score 0 where no edge contributes), scaled to max 1e6
+    def halfStep(scores: DataFrame, scoreCol: String, joinSide: String,
+        emitSide: String, outCol: String): DataFrame = {
+      val raw = edges
+        .join(scores.withColumnRenamed("node", joinSide), Seq(joinSide))
+        .groupBy(col(emitSide).as("node"))
+        .agg(sum(col(scoreCol)).as("raw"))
+        .localCheckpoint(true)
+      val mx = math.max(raw.agg(max(col("raw"))).head().getLong(0), 1L)
+      nodes.join(raw, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(coalesce(raw, 0L) * 1000000) div $mx").as(outCol))
+        .localCheckpoint(true)
+    }
+
+    var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+    var auth = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to iterations) {
+      auth = halfStep(hub, "h", "src", "dst", "a")
+      hub = halfStep(auth, "a", "dst", "src", "h")
+    }
+    nodes.join(auth, Seq("node")).join(hub, Seq("node"))
+      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+  }
+
   /** Entity co-occurrence edges: pairs of entity IRIs that appear as
     * objects of the SAME subject (the "mentioned together" graph used for
     * related-entity suggestion and embedding-training pair mining),

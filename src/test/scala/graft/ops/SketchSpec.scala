@@ -148,6 +148,72 @@ class SketchSpec extends AnyFunSuite {
       s"median HyperBall error ${sortedErrs(errs.size / 2)}")
   }
 
+  /** Sequential CMS reference matrix over a value multiset. */
+  private def seqCms(values: Seq[String], d: Int, w: Int): Array[Long] = {
+    val m = new Array[Long](d * w)
+    values.foreach { s =>
+      val h = SketchOps.hash64(s)
+      (0 until d).foreach(j => m(j * w + SketchOps.cmsCol(h, j, w)) += 1L)
+    }
+    m
+  }
+
+  test("cmsCol: matches a BigInt reference; h2 forced odd so no row degenerates") {
+    val rnd = new Random(2027)
+    val hashes = Seq.fill(2000)(rnd.nextLong()) ++
+      Seq(0L, -1L, 1L, Long.MinValue, Long.MaxValue, 0xFFFFFFFF00000000L)
+    for (w <- Seq(64, 1024); j <- 0 until 4; h <- hashes) {
+      val big = BigInt(h) & ((BigInt(1) << 64) - 1)
+      val h1 = big >> 32
+      val h2 = (big & 0xFFFFFFFFL) | 1
+      val expect = ((h1 + j * h2) % w).toInt
+      assert(SketchOps.cmsCol(h, j, w) === expect, s"h=$h j=$j w=$w")
+    }
+  }
+
+  test("cmsRegisters: partition-invariant and equal to the sequential fold") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val values = (0 until 8000).map(_ => s"item-${rnd.nextInt(300)}") // heavy repeats
+    val (d, w) = (4, 256)
+    val a = SketchOps.cmsRegisters(values.toDF("v").repartition(1), "v", d, w)
+    val b = SketchOps.cmsRegisters(values.toDF("v").repartition(13), "v", d, w)
+    assert(a.toSeq === b.toSeq, "counter matrix must not depend on partitioning")
+    assert(a.toSeq === seqCms(values, d, w).toSeq,
+      "distributed matrix must equal the sequential fold")
+    // every row counts every item exactly once
+    (0 until d).foreach { j =>
+      assert((j * w until (j + 1) * w).map(a(_)).sum === values.size.toLong, s"row $j")
+    }
+  }
+
+  test("cmsHeavyHitters: never underestimates; heavy set is a superset of the truth") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    // planted frequencies: 5 heavy (>=400), a mid band, and a long tail
+    val values =
+      (0 until 5).flatMap(i => Seq.fill(400 + i * 50)(s"heavy-$i")) ++
+        (0 until 20).flatMap(i => Seq.fill(30)(s"mid-$i")) ++
+        (0 until 2000).map(i => s"tail-$i-${rnd.nextInt(4)}")
+    val items = new Random(3).shuffle(values).toDF("v").repartition(7)
+    val truth = values.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val (d, w, threshold) = (4, 1024, 100L)
+    val got = SketchOps.cmsHeavyHitters(items, items.distinct(), "v", "v", d, w, threshold)
+      .as[(String, Long)].collect().toMap
+    // CMS point estimates are min over d rows of (true + collisions) >= true
+    got.foreach { case (v, est) => assert(est >= truth(v), s"$v underestimated") }
+    val trueHeavy = truth.filter(_._2 >= threshold).keySet
+    assert(trueHeavy.subsetOf(got.keySet),
+      s"missing true heavy hitters: ${trueHeavy -- got.keySet}")
+    // at this load factor (2k distinct on 4x1024 counters) the estimates
+    // should be near-exact: allow only the standard eps*N slack
+    val n = values.size.toLong
+    val eps = math.E / w
+    got.foreach { case (v, est) =>
+      assert(est - truth(v) <= (eps * n).toLong + 1, s"$v over by ${est - truth(v)}")
+    }
+  }
+
   test("hyperBall: astral code points are refused loudly") {
     import spark.implicits._
     val triples = Seq(

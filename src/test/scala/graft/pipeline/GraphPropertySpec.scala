@@ -48,6 +48,38 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hitsScores: distributed max-rescaled fixed point == sequential reference, bit-exact") {
+    import spark.implicits._
+    for (seed <- Seq(31, 32, 33)) {
+      val rows = randomTriples(seed, nodes = 30, edges = 150)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue")
+      val iters = 3
+      val got = GraphMaterialize.hitsScores(df, iterations = iters)
+        .as[(String, Long, Long)].collect()
+        .map { case (n, a, h) => n -> ((a, h)) }.toMap
+
+      val edges = rows.collect { case (s, _, k, o) if k == 0 && s != o => (s, o) }.distinct
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var hub = nodes.map(_ -> 1000000L).toMap
+      var auth = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        val ar = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        edges.foreach { case (s, d) => ar(d) += hub(s) }
+        val amax = math.max(if (ar.isEmpty) 0L else ar.values.max, 1L)
+        auth = nodes.map(n => n -> ar(n) * 1000000L / amax).toMap
+        val hr = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        edges.foreach { case (s, d) => hr(s) += auth(d) }
+        val hmax = math.max(if (hr.isEmpty) 0L else hr.values.max, 1L)
+        hub = nodes.map(n => n -> hr(n) * 1000000L / hmax).toMap
+      }
+      val expect = nodes.map(n => n -> ((auth(n), hub(n)))).toMap
+      assert(got == expect, s"seed=$seed")
+      // the rescale pins each half-step's max at exactly 1e6
+      assert(got.values.map(_._1).max === 1000000L, s"seed=$seed auth max")
+      assert(got.values.map(_._2).max === 1000000L, s"seed=$seed hub max")
+    }
+  }
+
   test("entityCoOccurrence: degree-capped pair counts == sequential reference") {
     import spark.implicits._
     for (seed <- Seq(21, 22, 23)) {
