@@ -45,6 +45,12 @@ object SparkEntry {
   private val CmsWidth = 1024
   private val CmsThreshold = 50L
 
+  /** Bloom shape shared by q_kg_bloom_prune and its oracle: 2^22 bits /
+    * 4 hashes over the 327k-surface big_dict ≈ 12.8 bits/key → ~0.5%
+    * false-positive rate — the standard runtime-filter sizing. */
+  private val BloomBits = 1 << 22
+  private val BloomK = 4
+
   /** Round count shared by q_kg_communities and its oracle. */
   private val LpaRounds = 4
 
@@ -1133,7 +1139,29 @@ object SparkEntry {
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
         iterations = HitsIterations)
         .orderBy(col("auth").desc, col("hub").desc, col("node"))
-        .limit(100))
+        .limit(100)),
+    // Bloom runtime semi-join filter: the 327k-key dictionary folds into
+    // a 512 KiB bit array (one agg, map-side OR), and the mention stream
+    // is pruned by a codegen'd probe INSIDE the scan stage — the explicit
+    // form of Spark's InjectRuntimeFilter, aimed at the entity-link join
+    // (most of a 10^12-row fact side dies before any exchange). Oracle =
+    // the exact bit set re-derived from the raw dictionary strings in
+    // SQL, so false positives — the probabilistic part — must reproduce
+    // bit-for-bit, not just the true members.
+    "q_kg_bloom_prune" -> ((s, dir) => {
+      val aux = AuxTables.ensure(s, dir)
+      val words = SketchOps.bloomBits(
+        s.read.parquet(s"$aux/big_dict").select(lower(col("surface")).as("surface")),
+        "surface", mBits = BloomBits, k = BloomK)
+      s.read.parquet(s"$aux/triples")
+        .filter(col("objKind") === 2 &&
+          col("pred").isin(GraphMaterialize.MentionPreds: _*))
+        .select(lower(col("objValue")).as("surface"))
+        .filter(graft.functions.BloomExpression.bloomMightContain(
+          col("surface"), words, BloomK))
+        .groupBy(col("surface")).agg(count(lit(1)).as("n_mentions"))
+        .orderBy(col("surface"))
+    })
   )
 
   /** DuckDB-equivalent SQL per oracle-able query; column names must match
@@ -2451,6 +2479,7 @@ object SparkEntry {
          |${hllSummarySql(p = 12, grpName = "pred")}""".stripMargin,
     "q_kg_cms_hot" -> cmsOracleSql,
     "q_kg_hits" -> hitsOracleSql,
+    "q_kg_bloom_prune" -> bloomOracleSql,
     "q_kg_hyperball" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT subj AS src, objValue AS dst
@@ -2527,6 +2556,46 @@ object SparkEntry {
        |  CAST(hi_nz + ($m - n_b) * $zeroHi AS BIGINT) AS s_hi,
        |  lo AS s_lo
        |FROM summ ORDER BY $grpName""".stripMargin
+  }
+
+  /** The Bloom oracle: the dictionary's bit SET re-derived from the raw
+    * strings (same hash CTEs; Kirsch-Mitzenmacher positions = the CMS
+    * column stream over mBits), then each mention surface passes iff all
+    * k of its positions land in the set. Per-position join semantics are
+    * exactly the engine's per-bit test: a position row either finds its
+    * bit (counts) or doesn't, so nhit = k ⇔ bloomProbe = true — false
+    * positives and all. */
+  private def bloomOracleSql: String = {
+    val mentionPredsIn = pipeline.GraphMaterialize.MentionPreds
+      .map(p => s"'$p'").mkString(", ")
+    s"""WITH dict AS (
+       |  SELECT DISTINCT lower(surface) AS s
+       |  FROM read_parquet('{AUX}/big_dict/*.parquet')),
+       |mseq AS (
+       |  SELECT lower(objValue) AS s
+       |  FROM read_parquet('{AUX}/triples/*.parquet')
+       |  WHERE objKind = 2 AND pred IN ($mentionPredsIn)),
+       |vals AS (SELECT s FROM dict UNION SELECT DISTINCT s FROM mseq),
+       |$hllHashedCtes,
+       |hs AS (
+       |  SELECT s, CAST(h >> 32 AS BIGINT) AS h1,
+       |    CAST(CASE WHEN (h & ((1::UBIGINT << 32) - 1)) % 2 = 0
+       |         THEN (h & ((1::UBIGINT << 32) - 1)) + 1
+       |         ELSE (h & ((1::UBIGINT << 32) - 1)) END AS BIGINT) AS h2
+       |  FROM hashed),
+       |dimbits AS (
+       |  SELECT DISTINCT (h1 + j * h2) % $BloomBits AS idx
+       |  FROM hs JOIN dict d ON hs.s = d.s
+       |  CROSS JOIN (SELECT unnest(range($BloomK)) AS j)),
+       |probe AS (
+       |  SELECT q.s, count(*) AS nhit
+       |  FROM (SELECT s, (h1 + j * h2) % $BloomBits AS idx
+       |        FROM hs CROSS JOIN (SELECT unnest(range($BloomK)) AS j)) q
+       |  JOIN dimbits USING (idx) GROUP BY q.s),
+       |pass AS (SELECT s FROM probe WHERE nhit = $BloomK)
+       |SELECT m.s AS surface, count(*) AS n_mentions
+       |FROM mseq m JOIN pass USING (s)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Inlined (band, key) probe list for the ANN oracle — a deterministic

@@ -278,6 +278,78 @@ object SketchOps {
       .head().getAs[scala.collection.Seq[Long]]("regs").toArray
   }
 
+  // -------------------------------------------------------------------
+  // Bloom filter: the MEMBERSHIP sketch completing the family (HLL =
+  // distinct counts, CMS = frequencies, Bloom = set membership). The
+  // 100 TB use is the runtime semi-join filter: build the bit array
+  // over the small side's join keys (one agg, m/8 bytes of mergeable
+  // state), embed it in a codegen'd probe expression on the fact side,
+  // and most fact rows die INSIDE the scan stage before any exchange —
+  // what Spark's own `InjectRuntimeFilter` does for equi-joins, here as
+  // an explicit operator the pipeline can aim at the mention stream
+  // ahead of the entity-link join. Same determinism contract as CMS:
+  // bits are ORs of Kirsch-Mitzenmacher positions off mix64∘fnv1a64
+  // (order-independent), so the oracle re-derives the exact bit set —
+  // INCLUDING false positives — from the raw strings in SQL.
+  // -------------------------------------------------------------------
+
+  /** All `k` bloom bits of `s` set in `words`? Bit i lives at
+    * [[cmsCol]](h, i, mBits) (the same double-hash stream as CMS).
+    * Called from generated code (see BloomMightContain), so it must
+    * stay a static-forwarder-reachable pure function. */
+  def bloomProbe(words: Array[Long], s: String, k: Int): Boolean = {
+    val h = hash64(s)
+    val mBits = words.length << 6
+    var i = 0
+    while (i < k) {
+      val idx = cmsCol(h, i, mBits)
+      if ((words(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Typed Bloom aggregator: String in, mBits/64-long word array as
+    * buffer and output; reduce sets k bits, merge is elementwise OR —
+    * associative/commutative/idempotent, so the bit array is a pure
+    * function of the key SET. */
+  class BloomAgg(mBits: Int, k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+    require((mBits & (mBits - 1)) == 0 && mBits >= 64,
+      s"bloom size must be a power of two >= 64 bits, got $mBits")
+    override def zero: Array[Long] = new Array[Long](mBits >>> 6)
+    override def reduce(b: Array[Long], s: String): Array[Long] = {
+      if (s != null) {
+        val h = hash64(s)
+        var i = 0
+        while (i < k) {
+          val idx = cmsCol(h, i, mBits)
+          b(idx >>> 6) |= 1L << (idx & 63)
+          i += 1
+        }
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The bit array of `valueCol`'s key set — ONE hash-aggregate with
+    * map-side partial OR, then a bounded driver collect (mBits/8 bytes;
+    * 512 KiB at the 2^22 default — the same bounded-collect class as
+    * the CMS matrix). Eager by contract. */
+  def bloomBits(df: DataFrame, valueCol: String, mBits: Int, k: Int): Array[Long] = {
+    val agg = functions.udaf(new BloomAgg(mBits, k), Encoders.STRING)
+    df.select(asciiGuarded(col(valueCol)).as("v"))
+      .agg(agg(col("v")).as("bits"))
+      .head().getAs[scala.collection.Seq[Long]]("bits").toArray
+  }
+
   /** Point-estimate `min_j regs[j][col_j(value)]` for each candidate, kept
     * when ≥ `threshold`. CMS never underestimates, so every true heavy
     * hitter survives; collisions can only add false positives, bounded by

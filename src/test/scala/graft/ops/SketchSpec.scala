@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.pipeline.SparkTestBase
 import scala.util.Random
 
@@ -212,6 +213,64 @@ class SketchSpec extends AnyFunSuite {
     got.foreach { case (v, est) =>
       assert(est - truth(v) <= (eps * n).toLong + 1, s"$v over by ${est - truth(v)}")
     }
+  }
+
+  /** Sequential Bloom reference. */
+  private def seqBloom(keys: Seq[String], mBits: Int, k: Int): Array[Long] = {
+    val w = new Array[Long](mBits >>> 6)
+    keys.foreach { s =>
+      val h = SketchOps.hash64(s)
+      (0 until k).foreach { i =>
+        val idx = SketchOps.cmsCol(h, i, mBits)
+        w(idx >>> 6) |= 1L << (idx & 63)
+      }
+    }
+    w
+  }
+
+  test("bloomBits: partition-invariant and equal to the sequential fold") {
+    import spark.implicits._
+    val keys = (0 until 3000).map(i => s"key-$i")
+    val (m, k) = (1 << 15, 4)
+    val a = SketchOps.bloomBits(keys.toDF("v").repartition(1), "v", m, k)
+    val b = SketchOps.bloomBits((keys ++ keys).toDF("v").repartition(11), "v", m, k)
+    assert(a.toSeq === b.toSeq, "bit array must not depend on partitioning or multiplicity")
+    assert(a.toSeq === seqBloom(keys, m, k).toSeq)
+  }
+
+  test("bloom probe: zero false negatives; false positives reproduce the reference exactly") {
+    import spark.implicits._
+    val keys = (0 until 100).map(i => s"member-$i")
+    // deliberately tiny filter (256 bits, k=2, 100 keys -> ~50% fill) so
+    // false positives are GUARANTEED — the determinism claim is that the
+    // engine and the sequential reference agree on exactly which ones
+    val (m, k) = (256, 2)
+    val words = SketchOps.bloomBits(keys.toDF("v"), "v", m, k)
+    keys.foreach(s => assert(SketchOps.bloomProbe(words, s, k), s"false negative: $s"))
+    val probes = (0 until 400).map(i => s"nonmember-$i")
+    val fps = probes.filter(SketchOps.bloomProbe(words, _, k))
+    assert(fps.nonEmpty, "test setup should force false positives")
+    assert(fps.size < probes.size / 2, "fill factor sanity")
+    // distributed codegen'd probe == driver-side probe, row for row
+    val viaExpr = probes.toDF("v")
+      .filter(graft.functions.BloomExpression.bloomMightContain(col("v"), words, k))
+      .as[String].collect().toSet
+    assert(viaExpr === fps.toSet, "codegen probe must match the sequential probe")
+  }
+
+  test("bloom probe expression: null input filtered, non-string input refused at analysis") {
+    import spark.implicits._
+    val words = SketchOps.bloomBits(Seq("x").toDF("v"), "v", 256, 2)
+    val withNull = Seq(Some("x"), None).toDF("v")
+      .filter(graft.functions.BloomExpression.bloomMightContain(col("v"), words, 2))
+      .as[String].collect()
+    assert(withNull.toSeq === Seq("x"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1, 2).toDF("n")
+        .filter(graft.functions.BloomExpression.bloomMightContain(col("n"), words, 2))
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_bloom_might_contain"))
   }
 
   test("hyperBall: astral code points are refused loudly") {
