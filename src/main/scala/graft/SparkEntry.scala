@@ -51,6 +51,9 @@ object SparkEntry {
   private val BloomBits = 1 << 22
   private val BloomK = 4
 
+  /** Percentiles shared by q_doc_quantiles and its oracle. */
+  private val QuantilePcts = Seq(50, 90, 99, 100)
+
   /** Round count shared by q_kg_communities and its oracle. */
   private val LpaRounds = 4
 
@@ -1161,7 +1164,15 @@ object SparkEntry {
           col("surface"), words, BloomK))
         .groupBy(col("surface")).agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("surface"))
-    })
+    }),
+    // exact per-language length percentiles (integer tie rule pinned on
+    // both engines: smallest v with cum >= ceil(p*n/100), computed as
+    // (p*n + 99) div 100 — no floats, no engine-specific quantile_disc
+    // semantics); shuffle carries distinct (lang, length) pairs only
+    "q_doc_quantiles" -> ((s, dir) =>
+      CurationOps.exactQuantiles(t(s, dir, "documents"),
+        groupCol = "lang", valueCol = "n_chars", percents = QuantilePcts)
+        .orderBy(col("lang"), col("pct")))
   )
 
   /** DuckDB-equivalent SQL per oracle-able query; column names must match
@@ -2480,6 +2491,19 @@ object SparkEntry {
     "q_kg_cms_hot" -> cmsOracleSql,
     "q_kg_hits" -> hitsOracleSql,
     "q_kg_bloom_prune" -> bloomOracleSql,
+    "q_doc_quantiles" ->
+      s"""WITH counts AS (
+         |  SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, v,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         |    SUM(c) OVER (PARTITION BY lang) AS n
+         |  FROM counts),
+         |x AS (SELECT lang, v, cum, n,
+         |        CAST(unnest([${QuantilePcts.mkString(", ")}]) AS INTEGER) AS pct FROM cum)
+         |SELECT lang, pct, CAST(MIN(v) AS BIGINT) AS quantile FROM x
+         |WHERE cum >= (pct * n + 99) // 100
+         |GROUP BY 1, 2 ORDER BY lang, pct""".stripMargin,
     "q_kg_hyperball" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT subj AS src, objValue AS dst

@@ -454,6 +454,41 @@ object CurationOps {
   val DefaultMaxTopWordFrac = 0.5
   val DefaultMaxPii = 10
 
+  /** Exact distributed per-group quantiles of an integer column — the
+    * corpus-profiling step (length/token distributions per language or
+    * source) that sizing decisions (chunk budgets, shard packing, quality
+    * cutoffs) read.
+    *
+    * Definition pinned for oracle parity: the p-th percentile of n values
+    * is the SMALLEST value whose cumulative count reaches
+    * `(p·n + 99) div 100` — i.e. ceil(p·n/100) in PURE INTEGER arithmetic.
+    * `percentile_approx` is approximate and `quantile_disc`'s tie rule is
+    * engine-specific; this definition is total, interpolation-free, and
+    * identical on both engines, so the gate is exact.
+    *
+    * Scale shape: ONE hash agg keyed by (group, value) — map-side
+    * partials absorb the corpus, so only distinct (group, value) pairs
+    * cross the exchange (doc lengths at 10^12 rows collapse to ~10^5
+    * distinct values per group); the cumulative window then runs over
+    * that bounded frame, never over raw rows. No sort of the corpus, no
+    * per-group collect. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.forall(p => p >= 1 && p <= 100), s"percents in 1..100: $percents")
+    val counts = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(groupCol))))
+    cum.select(col(groupCol), col("v"), col("cum"), col("n"),
+        explode(array(percents.map(lit): _*)).as("pct"))
+      .filter(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(col("v")).as("quantile"))
+  }
+
   def curationVerdict(documents: DataFrame, pairs: DataFrame,
       minQuality: Double = DefaultMinQuality,
       maxDupLineFrac: Double = DefaultMaxDupLineFrac,

@@ -341,6 +341,34 @@ class CurationSpec extends AnyFunSuite {
     assert(MultimodalOps.parseHeader(Array.emptyByteArray) == ((0, 0, 0)))
   }
 
+  test("exactQuantiles: pinned integer tie rule matches a sequential reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 2000).map(i => (s"g${i % 3}", (rnd.nextInt(50) * 10).toLong))
+    val pcts = Seq(1, 50, 90, 99, 100)
+    val got = CurationOps.exactQuantiles(
+        rows.toDF("lang", "n_chars").repartition(7), "lang", "n_chars", pcts)
+      .as[(String, Int, Long)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+
+    val expect = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.size.toLong
+      pcts.map { p =>
+        val rank = (p * n + 99) / 100 // ceil(p*n/100), >= 1 for p >= 1
+        (g, p) -> sorted((rank - 1).toInt)
+      }
+    }
+    assert(got == expect.toMap)
+    // boundary semantics: p=100 is the max, p=1 on n>=100 is the min bucket
+    assert(got(("g0", 100)) == rows.filter(_._1 == "g0").map(_._2).max)
+    // duplicates in the value column must not shift ranks
+    val dup = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 7L))
+    val d = CurationOps.exactQuantiles(dup.toDF("lang", "n_chars"), "lang", "n_chars", Seq(50, 75, 100))
+      .as[(String, Int, Long)].collect().map { case (_, p, v) => p -> v }.toMap
+    assert(d == Map(50 -> 5L, 75 -> 5L, 100 -> 7L))
+  }
+
   test("curationVerdict: first failing rule wins, clean doc keeps") {
     import spark.implicits._
     val good = Seq.fill(10)("the cat and the dog of the house is big to see").mkString(" ")
