@@ -86,15 +86,37 @@ object GraphMaterialize {
     *    hint pins the SMJ the 100 TB plan needs (AQE skew-split still
     *    applies on top at runtime).
     *
-    * Semantics are identical to a plain left join: hot mentions can only
-    * match hot-head entries and cold mentions only tail entries, so the
-    * union of the two joins is exactly the full join (PipelineSpec's
-    * "scalable entity linking" test asserts equality against
-    * [[linkEntities]] row-for-row and pins the SMJ-on-salted-key plan). */
+    * Ahead of BOTH branches sits a Bloom runtime prefilter (round 5i):
+    * the dictionary's surfaces fold to a 512 KiB bit array and every
+    * mention is probed by the codegen'd in-scan expression — a mention
+    * that FAILS the probe provably cannot match (Bloom has no false
+    * negatives), so it bypasses the joins entirely as an unlinked row.
+    * At web scale most of the mention stream is non-dictionary mass;
+    * with the prefilter it dies inside the scan stage instead of being
+    * salted, sorted, and merged against an exploded dictionary. False
+    * positives (~0.5% at the default sizing) just take the join and
+    * miss — semantics unchanged.
+    *
+    * Semantics are identical to a plain left join: bloom-fail mentions
+    * match nothing, hot mentions can only match hot-head entries and
+    * cold mentions only tail entries, so the union of the bypass and the
+    * two joins is exactly the full join (PipelineSpec's "scalable entity
+    * linking" test asserts equality against [[linkEntities]] row-for-row
+    * and pins the SMJ-on-salted-key plan). */
   def linkEntitiesScalable(mentionsDf: DataFrame, dictionary: DataFrame,
-                           hotMentionCount: Long = 1000L, salt: Int = 8): DataFrame = {
+                           hotMentionCount: Long = 1000L, salt: Int = 8,
+                           bloomBits: Int = 1 << 22, bloomK: Int = 4): DataFrame = {
     val dict = dictionary.select(lower(col("surface")).as("surface"), col("entity"))
-    val m = mentionsDf.select(col("surface"), col("subj"))
+    val m0 = mentionsDf.select(col("surface"), col("subj"))
+    val words = graft.ops.SketchOps.bloomBits(
+      dict.select(col("surface")), "surface", bloomBits, bloomK)
+    // null surfaces route to the bypass (a plain left join keeps them
+    // unlinked too); coalesce keeps pass/bypass an exact partition
+    val probe = coalesce(graft.functions.BloomExpression.bloomMightContain(
+      col("surface"), words, bloomK), lit(false))
+    val m = m0.filter(probe)
+    val bypassed = m0.filter(!probe)
+      .select(col("subj"), col("surface"), lit(null).cast("string").as("entity"))
     // hotSurfaces feeds FOUR plan branches (hot semi-join, dict head
     // semi-join, mention anti-join, dict tail anti-join) — without a
     // checkpoint each physical occurrence re-runs the full fact-side
@@ -118,6 +140,7 @@ object GraphMaterialize {
     val coldLinked = saltedMentions.join(saltedDict, Seq("surface", "salt_b"), "left")
       .drop("salt_b")
     hotLinked.unionByName(coldLinked).select(col("subj"), col("surface"), col("entity"))
+      .unionByName(bypassed)
   }
 
   /** Canonicalize subject IRIs via linked entities: rewrite subj -> entity

@@ -459,6 +459,19 @@ class PipelineSpec extends AnyFunSuite {
       assert(plan.contains("SortMergeJoin"), s"expected SMJ for the cold tail in:\n$plan")
       assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hot head in:\n$plan")
       assert(plan.contains("salt_b"), s"expected the salted key in the SMJ in:\n$plan")
+      // r5i: the Bloom runtime prefilter must sit in the plan (in-scan
+      // probe), and the bypass union must carry real rows — the corpus
+      // has mention surfaces outside the dictionary, which provably fail
+      // the probe and must arrive unlinked WITHOUT touching either join
+      assert(plan.contains("graft_bloom_might_contain"),
+        s"expected the bloom prefilter in:\n$plan")
+      val dictSurfaces = bigDict.select(lower(col("surface"))).distinct()
+        .collect().map(_.getString(0)).toSet
+      val outsideDict = scalable.filter(col("entity").isNull)
+        .select("surface").distinct().collect().map(_.getString(0))
+        .filterNot(dictSurfaces.contains)
+      assert(outsideDict.nonEmpty,
+        "bypass path untested: every mention surface is in the dictionary")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
