@@ -930,6 +930,13 @@ object SparkEntry {
       CurationOps.decontaminate(t(s, dir, "documents"),
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/eval_docs"), n = 13)
         .orderBy(col("doc_id"))),
+    // span-level exact-substring dedup (ExactSubstr at 8-token-window
+    // granularity): per-doc maximal duplicated-span count/mass/fraction;
+    // the oracle regenerates every window as a string, counts corpus
+    // multiplicity, and replays the island merge with window functions
+    "q_span_dedup" -> ((s, dir) =>
+      CurationOps.spanDedup(t(s, dir, "documents"), k = 8)
+        .orderBy(col("doc_id"))),
     // PII scrubbing over the planted corpus: email/IPv4/phone redaction
     // with per-doc match counts; the oracle re-runs the same (RE2-safe)
     // regex pipeline in DuckDB over the same parquet
@@ -2116,6 +2123,44 @@ object SparkEntry {
         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
         |FROM dg LEFT JOIN ov ON dg.doc_id = ov.doc_id
         |ORDER BY dg.doc_id""".stripMargin,
+
+    // span dedup: every 8-token window regenerated as a string, corpus
+    // multiplicity >= 2 marks it duplicated, islands merged with the
+    // same gap->k break rule (lag + running sum), per-doc mass summed
+    "q_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i - 1, 'gram': array_to_string(w[i:i+7], ' ')}
+        |     FOR i IN range(1, len(w) - 6)], recursive := true)
+        |  FROM tok),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM wins JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dp),
+        |seg AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, seg_id, max(pos) - min(pos) + 8 AS span_tokens
+        |  FROM seg GROUP BY doc_id, seg_id),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans, sum(span_tokens) AS dup_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS INTEGER) AS n_tokens,
+        |  CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(coalesce(a.dup_tokens, 0)::DOUBLE / greatest(len(t.w), 1), 4)
+        |    AS dup_frac
+        |FROM tok t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // PII scrub: the SAME regex constants (interpolated, so the two
     // engines can never drift) re-run in DuckDB — RE2-safe patterns (no

@@ -133,6 +133,69 @@ object CurationOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Span-level exact-substring deduplication signals (the ExactSubstr
+    * notion from "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, at k-token-window granularity — the
+    * standard distributed relaxation of the suffix-array formulation):
+    * a k-token window is DUPLICATED when its exact text occurs at least
+    * twice corpus-wide (across documents or repeated within one);
+    * overlapping/adjacent duplicated windows merge into maximal spans,
+    * and each document reports its span count, duplicated-token mass,
+    * and duplicated fraction — the inputs to a scrub-or-drop decision.
+    *
+    * Sits BETWEEN line dedup (exact lines only) and MinHash (whole-doc
+    * near-dup): it catches the quoted paragraph, the syndicated intro,
+    * the license block — repeated passages inside otherwise-unique
+    * documents that neither neighbor sees.
+    *
+    * Scale shape (the [[lineDedup]] discipline at window granularity):
+    *   1. one narrow scan explodes (doc_id, pos, 16-byte window key) —
+    *      the double-xxhash64 key ([[lineKey]] rationale: both hashes
+    *      colliding for distinct text is ~2^-128) — text dropped before
+    *      any exchange;
+    *   2. global multiplicity = one hash-agg shuffle on the window key
+    *      with map-side partial counts (boilerplate passages collapse to
+    *      one row per map task before the exchange);
+    *   3. the duplicated-key set semi-joins back to the keys-only frame
+    *      (co-partitioned by the previous shuffle under AQE);
+    *   4. span merge + per-doc stats are doc-local window/agg work over
+    *      8-byte positions — per-task state bounded by document length,
+    *      never by corpus size. Document text is never shuffled. */
+  def spanDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val gram = col("gram")
+    val keyed = documents
+      .select(col("doc_id"), posexplode(tokenNgrams(col("text"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(gram).as("h1"), xxhash64(reverse(gram)).as("h2"))
+    val dup = keyed.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h1"), col("h2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // windows [p, p+k-1] and [q, q+k-1] merge when q <= p+k (overlap or
+    // touch); a row opens a new span exactly when the gap exceeds k
+    val spans = keyed.join(dup, Seq("h1", "h2"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0L))
+          .otherwise(lit(1L)).as("brk"))
+      .withColumn("seg", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg((max(col("pos")) - min(col("pos")) + k).as("span_tokens"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    val nTok = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+    documents.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(nTok, lit(1)), 4).as("dup_frac"))
+  }
+
   /** PII patterns, shared with the DuckDB oracle verbatim. Constraints
     * for exact cross-engine parity (Java regex is backtracking
     * leftmost-FIRST, RE2 is leftmost-LONGEST): no alternation, no

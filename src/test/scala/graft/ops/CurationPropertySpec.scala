@@ -95,6 +95,44 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("spanDedup: distributed spans == sequential window-count + island merge") {
+    import spark.implicits._
+    val k = 3
+    for (seed <- Seq(31, 32, 33)) {
+      val r = new Random(seed)
+      // tiny vocab => dense window collisions, within- AND cross-doc
+      val docs = (0 until 30).map { d =>
+        val n = r.nextInt(20) + 1
+        (d.toLong, Seq.fill(n)(s"t${r.nextInt(6)}").mkString(" "))
+      }
+      val got = CurationOps.spanDedup(docs.toDF("doc_id", "text"), k = k).collect()
+        .map(r0 => r0.getAs[Long]("doc_id") ->
+          ((r0.getAs[Int]("n_tokens"), r0.getAs[Long]("n_dup_spans"),
+            r0.getAs[Long]("dup_tokens"), r0.getAs[Double]("dup_frac")))).toMap
+      // sequential reference: count every k-window corpus-wide, then per
+      // doc merge duplicated window starts with the gap<=k rule
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toVector }
+      val counts = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      toks.foreach { case (_, w) =>
+        (0 to w.size - k).foreach(i => counts(w.slice(i, i + k).mkString(" ")) += 1)
+      }
+      toks.foreach { case (id, w) =>
+        val dupPos = (0 to w.size - k).filter(i => counts(w.slice(i, i + k).mkString(" ")) >= 2)
+        var spans = List.empty[(Int, Int)] // (first, last) window starts
+        dupPos.foreach { p =>
+          spans = spans match {
+            case (f, l) :: rest if p - l <= k => (f, p) :: rest
+            case s => (p, p) :: s
+          }
+        }
+        val dupTok = spans.map { case (f, l) => (l - f + k).toLong }.sum
+        val frac = BigDecimal(dupTok.toDouble / math.max(w.size, 1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(id) == ((w.size, spans.size.toLong, dupTok, frac)), s"seed=$seed doc=$id")
+      }
+    }
+  }
+
   test("sampleStratified: verdict is exactly the documented residue formula") {
     import spark.implicits._
     val r = new Random(21)

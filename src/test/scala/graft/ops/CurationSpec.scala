@@ -391,4 +391,36 @@ class CurationSpec extends AnyFunSuite {
     assert(r(4L) == (("repetitive_words", false)), r)
     assert(r(5L) == (("low_quality", false)), r)
   }
+
+  test("spanDedup: cross-doc shared passages merge into maximal spans") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 tokens; "the quick brown fox jumps high" shared with doc 1 at
+      // positions 2..7 -> duplicated k=4 windows start at 2,3,4 -> ONE
+      // merged span of 4-2+4 = 6 tokens
+      (0L, "a1 a2 the quick brown fox jumps high a3 a4"),
+      // 7 tokens; same passage at positions 1..6 -> span 6, frac 6/7
+      (1L, "b1 the quick brown fox jumps high"),
+      // within-doc repetition: "x y z w" at 0 and 6, gap 6 > k=4 -> TWO
+      // separate 4-token spans
+      (2L, "x y z w p q x y z w"),
+      // under k tokens: no windows, zero spans
+      (3L, "u v"),
+      // 8 tokens fully shared with doc 5: windows 0..4 all duplicated ->
+      // one island covering the whole doc
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8"),
+      (5L, "d1 d2 d3 d4 d5 d6 d7 d8")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.spanDedup(docs, k = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac"))))
+      .toMap
+    assert(out(0L) == ((10, 1L, 6L, 0.6)), out(0L))
+    assert(out(1L) == ((7, 1L, 6L, 0.8571)), out(1L))
+    assert(out(2L) == ((10, 2L, 8L, 0.8)), out(2L))
+    assert(out(3L) == ((2, 0L, 0L, 0.0)), out(3L))
+    assert(out(4L) == ((8, 1L, 8L, 1.0)), out(4L))
+    assert(out(5L) == ((8, 1L, 8L, 1.0)), out(5L))
+  }
 }
