@@ -174,12 +174,16 @@ object AuxTables {
     //     re-derives retention from this parquet with window functions.
     locally {
       import org.apache.spark.sql.functions._
-      val w = filter(split(col("text"), "\\s+"), t => t =!= "")
+      // tokens materialized first — the line lambda slices the array per
+      // element (the tokenNgramsOf O(T²) contract)
+      val w = col("w")
       // Column `/` is fractional division — cast back for sequence()
       val lines = transform(sequence(lit(0), ((size(w) - 1) / 8).cast("int")),
         i => array_join(slice(w, i * 8 + 1, lit(8)), " "))
       val emptyArr = array().cast("array<string>")
-      docs.select(col("doc_id").cast("long").as("doc_id"), lines.as("lines"))
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+          filter(split(col("text"), "\\s+"), t => t =!= "").as("w"))
+        .select(col("doc_id"), lines.as("lines"))
         .select(col("doc_id"),
           array_join(concat(
             when(col("doc_id") % 3 === 0, array(lit(BoilerHeader))).otherwise(emptyArr),

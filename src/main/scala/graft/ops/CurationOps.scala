@@ -123,15 +123,27 @@ object CurationOps {
             "\n")).as("text_clean"))
   }
 
-  /** Whitespace-token n-grams of a text column as an array of strings
-    * (empty when the document has fewer than `n` tokens). */
-  private[ops] def tokenNgrams(text: Column, n: Int): Column = {
-    val w = filter(split(text, "\\s+"), t => t =!= "")
+  /** Whitespace tokens of a text column, empties removed. */
+  private[ops] def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Word n-grams from an ALREADY-MATERIALIZED token-array column, as an
+    * array of space-joined strings (empty when under `n` tokens).
+    *
+    * `w` MUST be a materialized attribute (`.select(wsTokens(...).as("w"))`
+    * first), never the tokenize expression itself: a higher-order
+    * function's lambda re-evaluates every expression it references once
+    * per ELEMENT, so an inlined tokenize turns O(T) n-gram construction
+    * into O(T²) re-splits per document — measured 8× on the inverted
+    * index at 54-token average docs, and quadratically worse on real web
+    * pages (the q_ngram_topk round-1 lesson, now enforced structurally:
+    * Catalyst's CollapseProject keeps the projection because the alias
+    * is referenced more than once by a non-cheap expression). */
+  private[ops] def tokenNgramsOf(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => array_join(slice(w, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Span-level exact-substring deduplication signals (the ExactSubstr
     * notion from "Deduplicating Training Data Makes Language Models
@@ -165,7 +177,8 @@ object CurationOps {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val gram = col("gram")
     val keyed = documents
-      .select(col("doc_id"), posexplode(tokenNgrams(col("text"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(tokenNgramsOf(col("w"), k)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         xxhash64(gram).as("h1"), xxhash64(reverse(gram)).as("h2"))
     val dup = keyed.groupBy(col("h1"), col("h2"))
@@ -260,8 +273,14 @@ object CurationOps {
     * explode, no shuffle): the whole operator is a narrow projection
     * that pipelines inside the text scan at any scale. */
   def repetitionMetrics(documents: DataFrame): DataFrame = {
-    val lines = split(col("text"), "\n")
-    val words = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    // lines/words materialized FIRST: the bigram lambda below references
+    // the token array per element, so it must be an attribute, not the
+    // split expression (the [[tokenNgramsOf]] O(T²) contract)
+    val prepared = documents.select(col("doc_id"),
+      split(col("text"), "\n").as("lines"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("words"))
+    val lines = col("lines")
+    val words = col("words")
     // bigrams over the SAME token stream as the word metric (not the
     // whitespace tokenization decontaminate uses) — one tokenizer per
     // operator keeps the oracle a single CTE
@@ -269,7 +288,7 @@ object CurationOps {
       transform(sequence(lit(0), size(words) - 2),
         i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2))))
       .otherwise(array().cast("array<string>"))
-    documents.select(
+    prepared.select(
       col("doc_id"),
       size(lines).as("n_lines"),
       round((size(lines) - size(array_distinct(lines))) /
@@ -471,21 +490,25 @@ object CurationOps {
     * count agg on doc_id. */
   def decontaminate(documents: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
     val evalKeys = evalDocs
-      .select(explode(tokenNgrams(col("text"), n)).as("ngram"))
+      .select(wsTokens(col("text")).as("w"))
+      .select(explode(tokenNgramsOf(col("w"), n)).as("ngram"))
       .select(lineKey(col("ngram")): _*)
       .distinct()
     // per-doc distinct happens INSIDE the row (array_distinct before the
     // explode) — a doc's n-grams live in one array, so deduplicating them
     // needs no exchange at all, unlike a post-explode distinct()
     val docGrams = documents
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
       .select(col("doc_id"),
-        explode(array_distinct(tokenNgrams(col("text"), n))).as("ngram"))
+        explode(array_distinct(tokenNgramsOf(col("w"), n))).as("ngram"))
       .select(Seq(col("doc_id")) ++ lineKey(col("ngram")): _*)
     val flagged = docGrams
       .join(broadcast(evalKeys), Seq("h1", "h2"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    val totals = documents.select(col("doc_id"),
-      size(array_distinct(tokenNgrams(col("text"), n))).as("n_ngrams"))
+    val totals = documents
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(array_distinct(tokenNgramsOf(col("w"), n))).as("n_ngrams"))
     totals.join(flagged, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -21,15 +21,18 @@ object IndexOps {
   private[ops] def toks(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
 
-  /** Word n-gram phrases of a document as ONE in-row array (space-joined;
-    * empty array when the document has < n tokens). */
-  private[ops] def phraseGrams(text: Column, n: Int): Column = {
-    val w = toks(text)
+  /** Word n-gram phrases from an ALREADY-MATERIALIZED token-array column
+    * as ONE in-row array (space-joined; empty when under `n` tokens).
+    * `w` MUST be a materialized attribute — the lambda references it per
+    * element, and an inlined tokenize subtree would be re-split once per
+    * gram: O(T²) per document (measured 8×/4 s on this corpus' 54-token
+    * docs, quadratically worse on real pages — CurationOps.tokenNgramsOf
+    * documents the same contract). */
+  private[ops] def phraseGramsOf(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => array_join(slice(w, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Inverted phrase index over word `n`-grams: for every indexed term,
     * its document frequency, total occurrence count, and the full sorted
@@ -64,8 +67,9 @@ object IndexOps {
     require(n >= 1 && minDf >= 1 && maxDfMilli >= 1 && maxDfMilli <= 1000)
     val nDocs = documents.count()
     val maxDf = math.max(minDf, nDocs * maxDfMilli / 1000L)
-    val grams = documents.select(col("doc_id").cast("long").as("doc_id"),
-      explode(phraseGrams(col("text"), n)).as("gram"))
+    val grams = documents
+      .select(col("doc_id").cast("long").as("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), explode(phraseGramsOf(col("w"), n)).as("gram"))
     val tf = grams.select(col("doc_id"), xxhash64(col("gram")).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
