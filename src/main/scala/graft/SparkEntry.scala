@@ -537,6 +537,20 @@ object SparkEntry {
         threshold = 0.97)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("a"), col("b"))),
+    // SemDeDup over the planted corpus: the persisted IVF centroids are
+    // the cluster index (bounded 32-row collect, like the probe list);
+    // the oracle re-derives assignment (argmax cosine, ties to lowest
+    // cell), occupancy, within-cell pairs, and the keep rule in SQL
+    "q_semdedup" -> ((s, dir) => {
+      val aux = AuxTables.ensure(s, dir)
+      val cents = s.read.parquet(s"$aux/ivf_centroids").orderBy(col("cell"))
+        .collect().map(_.getSeq[Double](1).toArray)
+      VectorOps.semDedup(
+        VectorOps.plantNearDups(VectorOps.asVectors(t(s, dir, "embeddings")),
+          AuxTables.NearDupPlants, AuxTables.NearDupIdOffset),
+        cents, tau = 0.97)
+        .orderBy(col("vec_id"))
+    }),
 
     // ---- KG-construction pipeline ----
     // The JSON-LD expansion itself is gated by the W3C suite; the
@@ -1430,6 +1444,42 @@ object SparkEntry {
          |    list_cosine_similarity(x.emb, y.emb) AS c
          |  FROM aug x JOIN aug y ON x.vec_id < y.vec_id)
          |SELECT a, b, round(c, 4) AS cos FROM p WHERE c >= 0.97 ORDER BY a, b""".stripMargin,
+
+    // SemDeDup: cluster assignment re-derived from the persisted centroid
+    // VECTORS (argmax cosine, ties to lowest cell — the engine's exact
+    // rule), occupancy cap replayed, within-cell pairs >= tau, and the
+    // keep-the-farther-from-centroid rule in plain SQL
+    "q_semdedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |aug AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT vec_id + ${AuxTables.NearDupIdOffset},
+         |    [CASE WHEN i = 1 THEN emb[i] + 0.125 ELSE emb[i] END FOR i IN range(1, len(emb) + 1)]
+         |  FROM base WHERE vec_id < ${AuxTables.NearDupPlants}),
+         |cents AS (SELECT cell, emb FROM read_parquet('{AUX}/ivf_centroids/*.parquet')),
+         |asn AS (
+         |  SELECT vec_id, cell, ccos FROM (
+         |    SELECT a.vec_id, c.cell,
+         |      list_cosine_similarity(a.emb, c.emb) AS ccos,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_cosine_similarity(a.emb, c.emb) DESC, c.cell) AS rn
+         |    FROM aug a CROSS JOIN cents c) WHERE rn = 1),
+         |occ AS (SELECT cell, count(*) AS n FROM asn GROUP BY cell),
+         |ok AS (SELECT asn.* FROM asn JOIN occ USING (cell) WHERE occ.n <= 4096),
+         |pr AS (
+         |  SELECT x.vec_id AS ia, y.vec_id AS ib, x.ccos AS ca, y.ccos AS cb
+         |  FROM ok x JOIN ok y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN aug ea ON ea.vec_id = x.vec_id
+         |  JOIN aug eb ON eb.vec_id = y.vec_id
+         |  WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.97),
+         |dropped AS (
+         |  SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND ia > ib)
+         |    THEN ia ELSE ib END AS vec_id FROM pr)
+         |SELECT a.vec_id, a.cell, round(a.ccos, 4) AS centroid_cos,
+         |  (d.vec_id IS NULL) AS keep
+         |FROM asn a LEFT JOIN dropped d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
     // candidates = sketch rows matching any probed (band, key) — the probe
     // list is a pure function of the fixed query vector, inlined here —
     // then exact cosine top-k on the candidates only

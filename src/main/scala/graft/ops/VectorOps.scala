@@ -357,4 +357,69 @@ object VectorOps {
     val qv = query.map(_.toDouble)
     annIvfFromCells(ivfAssign(vecs, cents), vecs, ivfProbeCells(qv, cents, nprobe), qv, k)
   }
+
+  /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", Abbas et al.
+    * 2023): cluster the embedding space (the IVF centroids double as the
+    * cluster index), compare vectors only WITHIN their cluster, and for
+    * every within-cluster pair with cosine ≥ `tau` keep the member that
+    * is FARTHER from the centroid (the paper's low-centroid-similarity
+    * rule — the more distinct example survives; ties break to the lower
+    * vec_id). Returns every vector with (cell, centroid_cos, keep).
+    *
+    * This is the semantic sibling of [[cosineNearDups]]: LSH finds
+    * lexical/metric near-identity; SemDeDup's cluster scoping finds
+    * redundancy at cluster granularity, the standard embedding-space
+    * curation step for web corpora.
+    *
+    * Scale shape (the module shuffle rule + the EntityResolve block cap):
+    *   1. assignment is the same narrow [[ivfAssign]] pass (centroids
+    *      ride the closure, k × dims doubles); the per-vector centroid
+    *      cosine is computed in the same pass — one corpus scan;
+    *   2. the (vec_id, cell, ccos) frame is keys-only (20 bytes/row) and
+    *      feeds four plan branches (both pair sides, occupancy, output) —
+    *      localCheckpoint(true), the repo's multi-branch rule. NOTE: this
+    *      makes the builder EAGER (it launches the assignment scan);
+    *   3. cells over `maxCell` are EXCLUDED from pairing — loudly visible
+    *      as keep=true whole cells (a B-member cell is B²/2 pairs; at web
+    *      scale you raise the cluster count k so cells stay bounded, the
+    *      paper's own regime of ~0.1% of corpus per cluster);
+    *   4. candidate pairs are id-pairs from the keys-only self-join on
+    *      cell; embeddings rejoin BY ID for the exact cosine — arrays
+    *      never ride the candidate exchange (round-2 lesson). */
+  def semDedup(vectors: DataFrame, centroids: Array[Array[Double]],
+               tau: Double = 0.97, maxCell: Int = 4096): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val norms = centroids.map(normScalar)
+    val cc = vectors.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val cell = nearestCells(v, centroids, norms, 1)(0)
+          (id, cell, cosineScalar(v, centroids(cell), normScalar(v), norms(cell)))
+        }
+      }.toDF("vec_id", "cell", "ccos")
+      .localCheckpoint(true)
+    val okCells = cc.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell).select(col("cell"))
+    val paired = cc.join(okCells, Seq("cell"))
+    val ids = paired.as("x").join(paired.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"),
+        col("x.ccos").as("ca"), col("y.ccos").as("cb"))
+    val emb = vectors.select(col("vec_id"), col("emb"))
+    val dropped = ids
+      .join(emb.select(col("vec_id").as("ia"), col("emb").as("ea")), Seq("ia"))
+      .join(emb.select(col("vec_id").as("ib"), col("emb").as("eb")), Seq("ib"))
+      .filter(cosine(col("ea"), col("eb")) >= tau)
+      .select(when(col("ca") > col("cb") ||
+          (col("ca") === col("cb") && col("ia") > col("ib")), col("ia"))
+        .otherwise(col("ib")).as("vec_id"))
+      .distinct()
+    cc.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("ccos"), 4).as("centroid_cos"),
+        col("hit").isNull.as("keep"))
+  }
 }

@@ -88,4 +88,27 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(probes.size == 176, s"probe count drifted: ${probes.size}")
     assert(probes.distinct.size == probes.size)
   }
+
+  test("semDedup: within-cell dups drop the higher-centroid-cos member; cap excludes cells") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (10L, Array(1.0, 0.01), "a"), // cell 0, ccos ~0.99995
+      (11L, Array(1.0, 0.0), "b"),  // cell 0, ccos 1.0; cos(10,11)~0.99995 -> dup pair
+      (12L, Array(0.0, 1.0), "c"),  // cell 1, ccos 1.0
+      (13L, Array(0.6, 0.8), "d"),  // cell 1, ccos 0.8; cos(12,13)=0.8 < tau
+      (14L, Array(0.0, 2.0), "e")   // cell 1, ccos 1.0; cos(12,14)=1.0 -> tie, higher id drops
+    ).toDF("vec_id", "emb", "label")
+    val out = VectorOps.semDedup(vecs, cents, tau = 0.97).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(10L) == ((0, true)), out(10L))   // farther from centroid survives
+    assert(out(11L) == ((0, false)), out(11L))  // ccos 1.0 > 0.99995 -> dropped
+    assert(out(12L) == ((1, true)), out(12L))   // tie vs 14: lower id survives
+    assert(out(13L) == ((1, true)), out(13L))   // below tau: untouched
+    assert(out(14L) == ((1, false)), out(14L))
+    // cap=1: both cells over-occupied -> excluded from pairing -> all keep
+    val capped = VectorOps.semDedup(vecs, cents, tau = 0.97, maxCell = 1).collect()
+    assert(capped.forall(_.getAs[Boolean]("keep")), "over-cap cells must bypass pairing")
+  }
 }
