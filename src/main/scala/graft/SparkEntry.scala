@@ -323,6 +323,37 @@ object SparkEntry {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }),
+    // as-of join (purchase -> latest prior click per user, inclusive at
+    // equality, ties to the largest click id): the engine runs the
+    // single-shuffle union-tag + window-carry shape; the oracle re-derives
+    // the argmax with a row_number window over the inequality join
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          round(col("value"), 2).as("click_value"))
+      graft.ops.TimeJoinOps.asofJoin(purchases, clicks, "user_id", "ts",
+          "click_id", Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"), col("click_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+    // range (band) join: clicks within ±1 day of each error event, same
+    // user — the engine buckets time at the band width (one bucket keyed
+    // per right row, three probed per left row), the oracle counts over
+    // the plain inequality join
+    "q_range_band" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.ops.TimeJoinOps.bandCountJoin(errors, clicks, "user_id", "ts",
+          "event_id", bandSec = 86400L)
+        .select(col("event_id"), col("user_id"), col("n_in_band"))
+        .orderBy(col("event_id"))
+    }),
 
     // ---- training-data ops over documents (oracle-checked where SQL-able) ----
     "q_doc_tokens" -> ((s, dir) => {
@@ -1257,6 +1288,34 @@ object SparkEntry {
         |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // as-of join: argmax over the inequality join (greatest click ts <=
+    // purchase ts, ties to the largest click id) — the quadratic form the
+    // engine's single-shuffle window-carry must reproduce exactly
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT event_id AS click_id, user_id, ts, round(value, 2) AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT l.event_id, l.user_id, r.click_id, r.click_value,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.ts DESC, r.click_id DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+        |SELECT event_id, user_id, click_id, click_value FROM j
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // range (band) join: plain inequality count the bucketed engine plan
+    // must reproduce; band inclusive at exactly ±86400s
+    "q_range_band" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |r AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, count(r.ts) AS n_in_band
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |  AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 86400000000
+        |GROUP BY l.event_id, l.user_id ORDER BY l.event_id""".stripMargin,
     "q_doc_tokens" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
