@@ -35,7 +35,8 @@ object PlanAudit {
     "q_kg_communities", "q_kg_kcore", "q_boilerplate",
     "q_inverted_index", "q_bm25_search", "q_kg_hll_pred", "q_kg_hyperball",
     "q_kg_cms_hot", "q_kg_hits", "q_kg_bloom_prune", "q_doc_quantiles",
-    "q_span_dedup", "q_semdedup", "q_asof_join", "q_range_band")
+    "q_span_dedup", "q_semdedup", "q_asof_join", "q_range_band",
+    "q_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -339,6 +339,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("click_id"), col("click_value"))
         .orderBy(col("event_id"))
     }),
+    // Z-order clustered layout: the full cluster path (range exchange on
+    // the Morton key + in-partition sort) runs and the per-row key is
+    // oracle-checked bit-for-bit (the magic-mask spread replayed in SQL)
+    "q_zorder" -> ((s, dir) =>
+      graft.ops.LayoutOps.clusterByZOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars").cast("long"), partitions = 8)
+        .select(col("doc_id"), col("zkey"))
+        .orderBy(col("doc_id"))),
     // range (band) join: clicks within ±1 day of each error event, same
     // user — the engine buckets time at the band width (one bucket keyed
     // per right row, three probed per left row), the oracle counts over
@@ -1305,6 +1314,24 @@ object SparkEntry {
         |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
         |SELECT event_id, user_id, click_id, click_value FROM j
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Z-order key: the 5-step magic-mask bit spread replayed verbatim on
+    // BIGINTs (all masks positive in i64), interleave = xa | (xb << 1)
+    "q_zorder" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id & 4294967295 AS xa, n_chars & 4294967295 AS xb
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, (xa | (xa << 16)) & 281470681808895 AS xa,
+        |               (xb | (xb << 16)) & 281470681808895 AS xb FROM m),
+        |s2 AS (SELECT doc_id, (xa | (xa << 8)) & 71777214294589695 AS xa,
+        |               (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+        |s3 AS (SELECT doc_id, (xa | (xa << 4)) & 1085102592571150095 AS xa,
+        |               (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+        |s4 AS (SELECT doc_id, (xa | (xa << 2)) & 3689348814741910323 AS xa,
+        |               (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+        |s5 AS (SELECT doc_id, (xa | (xa << 1)) & 6148914691236517205 AS xa,
+        |               (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4)
+        |SELECT doc_id, xa | (xb << 1) AS zkey FROM s5 ORDER BY doc_id""".stripMargin,
 
     // range (band) join: plain inequality count the bucketed engine plan
     // must reproduce; band inclusive at exactly ±86400s

@@ -39,6 +39,45 @@ class TimeJoinSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("asofJoin: randomized equivalence with the sequential argmax reference") {
+    import spark.implicits._
+    for (seed <- Seq(41, 42)) {
+      val r = new scala.util.Random(seed)
+      // dense small key/time spaces force equal-ts ties and no-match rows
+      val left = (0 until 120).map(i => (i.toLong, (r.nextInt(6) + 1).toLong, ts(r.nextInt(40))))
+      val right = (0 until 80).map(i => ((r.nextInt(6) + 1).toLong, ts(r.nextInt(40)), (1000 + i).toLong, r.nextInt(50) / 10.0))
+      val out = TimeJoinOps.asofJoin(
+          left.toDF("event_id", "user_id", "ts"),
+          right.toDF("user_id", "ts", "click_id", "click_value"),
+          "user_id", "ts", "click_id", Seq("click_id", "click_value")).collect()
+        .map(x => x.getAs[Long]("event_id") -> Option(x.getAs[java.lang.Long]("click_id")).map(_.toLong))
+        .toMap
+      left.foreach { case (id, u, t) =>
+        val cands = right.filter(c => c._1 == u && !c._2.after(t))
+        val expect = if (cands.isEmpty) None
+          else Some(cands.maxBy(c => (c._2.getTime, c._3))._3)
+        assert(out(id) == expect, s"seed=$seed event=$id")
+      }
+    }
+  }
+
+  test("bandCountJoin: randomized equivalence with the sequential band count") {
+    import spark.implicits._
+    val r = new scala.util.Random(51)
+    val left = (0 until 100).map(i => (i.toLong, (r.nextInt(5) + 1).toLong, ts(r.nextInt(600))))
+    val right = (0 until 150).map(_ => ((r.nextInt(5) + 1).toLong, ts(r.nextInt(600))))
+    val band = 30L
+    val out = TimeJoinOps.bandCountJoin(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("user_id", "ts"), "user_id", "ts", "event_id", band).collect()
+      .map(x => x.getAs[Long]("event_id") -> x.getAs[Long]("n_in_band")).toMap
+    left.foreach { case (id, u, t) =>
+      val expect = right.count(c => c._1 == u &&
+        math.abs(c._2.getTime - t.getTime) <= band * 1000L).toLong
+      assert(out(id) == expect, s"event=$id")
+    }
+  }
+
   test("bandCountJoin: inclusive band, adjacent-bucket matches counted once, zero rows kept") {
     import spark.implicits._
     val left = Seq(
