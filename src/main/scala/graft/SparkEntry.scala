@@ -581,6 +581,14 @@ object SparkEntry {
     // the cluster index (bounded 32-row collect, like the probe list);
     // the oracle re-derives assignment (argmax cosine, ties to lowest
     // cell), occupancy, within-cell pairs, and the keep rule in SQL
+    // Lloyd k-means over integer-quantized embeddings: 2 rounds from the
+    // k-lowest-vec_id seeds; the oracle replays quantization, both
+    // assignment argmins (ties to the lowest cell) and the floor-division
+    // centroid update relationally, iteration by iteration
+    "q_kmeans" -> ((s, dir) =>
+      VectorOps.kmeansFit(VectorOps.asVectors(t(s, dir, "embeddings")))
+        .orderBy(col("vec_id"))),
+
     "q_semdedup" -> ((s, dir) => {
       val aux = AuxTables.ensure(s, dir)
       val cents = s.read.parquet(s"$aux/ivf_centroids").orderBy(col("cell"))
@@ -1535,6 +1543,44 @@ object SparkEntry {
     // VECTORS (argmax cosine, ties to lowest cell — the engine's exact
     // rule), occupancy cap replayed, within-cell pairs >= tau, and the
     // keep-the-farther-from-centroid rule in plain SQL
+    // Lloyd k-means replayed relationally: quantize (floor(x·2^20) —
+    // power-of-two multiply is exact), seeds = k lowest vec_ids, then per
+    // iteration an argmin (row_number over (d, cell) — ties to the lowest
+    // cell, same as array_position-of-first-min) and a floor-division
+    // centroid update with LEFT JOIN + COALESCE for empty cells (engine
+    // keeps the previous centroid). All integer arithmetic — no
+    // shuffle-order float drift on either engine.
+    "q_kmeans" ->
+      """WITH qv AS (
+        |  SELECT vec_id, pos, CAST(floor(e * 1048576.0) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |seeds AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT s.cell, q.pos, q.v AS cv FROM seeds s JOIN qv q USING (vec_id)),
+        |d1 AS (SELECT q.vec_id, c.cell,
+        |         CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        |       FROM qv q JOIN c0 c USING (pos) GROUP BY q.vec_id, c.cell),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |         SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |u1 AS (SELECT a.cell, q.pos,
+        |         CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+        |       FROM a1 a JOIN qv q USING (vec_id) GROUP BY a.cell, q.pos),
+        |c1 AS (SELECT c0.cell, c0.pos, COALESCE(u1.nv, c0.cv) AS cv
+        |       FROM c0 LEFT JOIN u1 ON u1.cell = c0.cell AND u1.pos = c0.pos),
+        |d2 AS (SELECT q.vec_id, c.cell,
+        |         CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        |       FROM qv q JOIN c1 c USING (pos) GROUP BY q.vec_id, c.cell),
+        |a2 AS (SELECT vec_id, cell, d FROM (
+        |         SELECT vec_id, cell, d,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |         FROM d2) WHERE rn = 1)
+        |SELECT vec_id, cell, d FROM a2 ORDER BY vec_id""".stripMargin,
+
     "q_semdedup" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |aug AS (

@@ -422,4 +422,76 @@ object VectorOps {
         round(col("ccos"), 4).as("centroid_cos"),
         col("hit").isNull.as("keep"))
   }
+
+  // -------------------------------------------------------------------
+  // Lloyd k-means over integer-quantized embeddings. The IVF layer above
+  // seeds cells but never refines them; this is the refinement step a
+  // curation pipeline runs before SemDeDup / IVF probing so the cluster
+  // index actually reflects the corpus. All arithmetic is an integer
+  // surrogate (floor(emb * 2^20), integer L2², floor-division centroid
+  // update) so a SQL oracle replays every iteration bit-for-bit — the
+  // same trick as the integer PageRank/HITS/tf-idf surrogates, because
+  // float sums are shuffle-order-dependent and k-means ties would flip.
+  //
+  // Scale shape per iteration: ONE narrow scan (assignment = argmin over
+  // k broadcast-literal centroids, pure codegen'd HOF arithmetic, zero
+  // join) + ONE k×dim-group aggregation whose map-side partial combine
+  // collapses the exchange to partitions×k×dim rows. Centroids cross the
+  // driver as k×dim longs (k=8, dim=64 → 512 values — bounded collect,
+  // same budget class as the 32 IVF centroids). The corpus is re-scanned
+  // per iteration rather than cached: at 100 TB the pruned 2-column scan
+  // is the cheap part, and no executor memory is pinned across rounds.
+  // -------------------------------------------------------------------
+
+  /** Pinned k-means parameters (oracle replays them). */
+  val KmeansScale: Long = 1L << 20
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** (vec_id, qemb: array<long>) — floor(x·2^20). Multiplying a double
+    * by a power of two is exact, so quantization is engine-independent. */
+  def quantizeVectors(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+      transform(col("emb"), x => floor(x * lit(KmeansScale.toDouble)).cast("long")).as("qemb"))
+
+  /** Integer squared-L2 distance to one literal centroid. |q|≤2^20,
+    * diff²≤2^42, ×64 dims ≤ 2^48 — no overflow headroom issues. */
+  private def l2sq(q: Column, cent: Array[Long]): Column =
+    aggregate(zip_with(q, array(cent.map(lit).toIndexedSeq: _*), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Assignment pass: cell = argmin over the k literal centroids, ties
+    * to the LOWEST cell (array_position returns the first minimum). */
+  def kmeansAssign(qvecs: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    qvecs.withColumn("dists", array(cents.map(c => l2sq(col("qemb"), c)).toIndexedSeq: _*))
+      .withColumn("cell", array_position(col("dists"), array_min(col("dists"))) - 1)
+      .withColumn("d", array_min(col("dists")))
+      .drop("dists")
+
+  /** `iters` Lloyd rounds from the deterministic seed set (the k lowest
+    * vec_ids — trivially SQL-replayable, no hash circularity). Centroid
+    * update: per-dim floor(sum/count); a cell that captures no points
+    * keeps its previous centroid (the oracle's LEFT JOIN + COALESCE
+    * mirrors this). Returns the final assignment (vec_id, cell, d). */
+  def kmeansFit(vectors: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    require(iters >= 1)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qvecs = quantizeVectors(vectors)
+    var cents: Array[Array[Long]] =
+      qvecs.orderBy(col("vec_id")).limit(k).select(col("qemb")).as[Array[Long]].collect()
+    require(cents.nonEmpty, "k-means needs at least one input vector")
+    var assigned: DataFrame = kmeansAssign(qvecs, cents)
+    for (_ <- 2 to iters) {
+      val upd = assigned.select(col("cell"), posexplode(col("qemb")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("nv"))
+        .as[(Long, Int, Long)].collect()
+      val next = cents.map(_.clone())
+      upd.foreach { case (cell, pos, nv) => next(cell.toInt)(pos) = nv }
+      cents = next
+      assigned = kmeansAssign(qvecs, cents)
+    }
+    assigned.select(col("vec_id"), col("cell"), col("d"))
+  }
 }
