@@ -1056,6 +1056,13 @@ object SparkEntry {
       CurationOps.hostQuota(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/pages_urls"), cap = 10)
         .orderBy(col("url"))),
+    // α=1/2 temperature mix: per-host √n quota allocation (integer
+    // surrogate: w=floor(√n·2^20), step=max(1,ceil(ΣW/budget)),
+    // quota = w div step), deterministic url-rank selection
+    "q_temperature_mix" -> ((s, dir) =>
+      CurationOps.temperatureMix(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/pages_urls"), budget = 600)
+        .orderBy(col("url"))),
     // per-host boilerplate removal (CCNet-style): a line appearing in
     // ≥ 500/1000 of a host's docs (host having ≥ 3 docs) is stripped from
     // ALL of that host's docs; integer-threshold verdict so the oracle
@@ -2482,6 +2489,27 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY host ORDER BY url) AS rk
         |      FROM p)
         |SELECT url, host, rk <= 10 AS kept FROM r ORDER BY url""".stripMargin,
+    // temperature mix: the integer quota pipeline replayed end-to-end —
+    // IEEE sqrt is correctly rounded in both engines and ·2^20 is exact,
+    // so w/step/quota are bit-identical; selection is the same url-rank
+    // rule as q_host_quota
+    "q_temperature_mix" ->
+      """WITH p AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1) AS host
+        |  FROM read_parquet('{AUX}/pages_urls/*.parquet')),
+        |c AS (SELECT host, count(*) AS n_host FROM p GROUP BY host),
+        |w AS (SELECT host, n_host,
+        |        CAST(floor(sqrt(CAST(n_host AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+        |      FROM c),
+        |st AS (SELECT greatest(1, (CAST(sum(w) AS BIGINT) + 600 - 1) // 600) AS step
+        |       FROM w),
+        |q AS (SELECT host, n_host, w // (SELECT step FROM st) AS quota FROM w),
+        |r AS (SELECT p.url, p.host, q.n_host, q.quota,
+        |        row_number() OVER (PARTITION BY p.host ORDER BY p.url) AS rk
+        |      FROM p JOIN q USING (host))
+        |SELECT url, host, n_host, quota, rk <= quota AS kept
+        |FROM r ORDER BY url""".stripMargin,
     // per-host boilerplate: document frequency per (host, line), the
     // integer-threshold verdict, and retained-text reassembly — all
     // re-derived over the raw line STRINGS (the engine's 2x64-bit line

@@ -475,6 +475,54 @@ object CurationOps {
     coldKept.unionByName(hotKept).unionByName(hotDropped)
   }
 
+  /** Temperature-scaled source mixing at α = 1/2 — the multi-source
+    * training-mix step (rare sources up-weighted, hub hosts flattened,
+    * as in multilingual/多-corpus sampling à la GPT-3/PaLM data mixes):
+    * each host h with n_h pages gets weight w_h ∝ √n_h and a page quota
+    * proportional to its weight share of `budget`.
+    *
+    * Exactness contract (the reason for every constant here): IEEE sqrt
+    * is correctly rounded in both engines, multiplying by 2^20 is exact,
+    * so w_h = floor(√n_h · 2^20) is engine-independent; the quota is the
+    * pure-integer w_h div step with step = max(1, ceil(ΣW / budget)) —
+    * no double division whose low bits could differ, no order-dependent
+    * float sums (ΣW is an integer sum). Selection within a host is the
+    * same deterministic url-rank rule as [[hostQuota]], with the same
+    * two-phase salted window so a hub host's rank never serializes one
+    * task: phase 1 ranks within (host, salt-bucket) and keeps ≤ quota
+    * per bucket, phase 2 ranks the ≤ salt·quota survivors exactly.
+    *
+    * Scale shape: one narrow scan for the per-host count agg (map-side
+    * combine), ONE driver scalar (ΣW), and the salted double-window —
+    * identical exchange structure to hostQuota at any corpus size. */
+  def temperatureMix(pages: DataFrame, budget: Long, salt: Int = 8): DataFrame = {
+    require(budget >= 1 && salt >= 1)
+    val withHost = pages.select(col("url"),
+      regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1).as("host"))
+    val weights = withHost.groupBy("host").agg(count(lit(1)).as("n_host"))
+      .withColumn("w",
+        floor(sqrt(col("n_host").cast("double")) * lit((1L << 20).toDouble)).cast("long"))
+    val totalW = weights.agg(sum(col("w"))).first().getLong(0)
+    val step = math.max(1L, (totalW + budget - 1L) / budget)
+    val quotas = weights.withColumn("quota", expr(s"w div CAST($step AS BIGINT)"))
+      .select(col("host"), col("n_host"), col("quota"))
+    val rows = withHost.join(quotas, Seq("host"))
+      .withColumn("salt_b", pmod(xxhash64(col("url")), lit(salt)))
+    val wSalt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"), col("salt_b")).orderBy(col("url"))
+    val phase1 = rows.withColumn("rk1", row_number().over(wSalt))
+    val wHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("url"))
+    val kept = phase1.filter(col("rk1") <= col("quota"))
+      .withColumn("rk", row_number().over(wHost))
+      .select(col("url"), col("host"), col("n_host"), col("quota"),
+        (col("rk") <= col("quota")).as("kept"))
+    val dropped = phase1.filter(col("rk1") > col("quota"))
+      .select(col("url"), col("host"), col("n_host"), col("quota"),
+        lit(false).as("kept"))
+    kept.unionByName(dropped)
+  }
+
   /** Eval-set decontamination: flag training documents sharing any
     * `n`-token n-gram with a held-out evaluation set (the standard
     * 13-gram-overlap rule next to dedup in an LLM curation pipeline).

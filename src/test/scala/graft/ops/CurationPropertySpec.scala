@@ -95,6 +95,38 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMix: quota pipeline + two-phase selection == sequential reference") {
+    import spark.implicits._
+    for ((seed, budget) <- Seq((21, 40L), (22, 15L), (23, 1000L))) {
+      val r = new Random(seed)
+      // Zipf-ish head/tail so sqrt flattening actually reorders shares
+      val urls = (0 until 8).flatMap { h =>
+        (0 until (60 / (h + 1))).map(i => s"https://h$h.example/p/${r.nextInt(100000)}")
+      }.distinct
+      val got = CurationOps.temperatureMix(urls.toDF("url"), budget = budget, salt = 4)
+        .collect()
+        .map(r0 => r0.getString(0) ->
+          ((r0.getLong(2), r0.getLong(3), r0.getBoolean(4)))).toMap
+      // sequential reference of the pinned integer semantics
+      val byHost = urls.groupBy(u => u.split("/")(2))
+      val w = byHost.view.mapValues(us =>
+        math.floor(math.sqrt(us.size.toDouble) * (1L << 20).toDouble).toLong).toMap
+      val totalW = w.values.sum
+      val step = math.max(1L, (totalW + budget - 1L) / budget)
+      val ref = byHost.flatMap { case (h, us) =>
+        val quota = w(h) / step
+        us.sorted.zipWithIndex.map { case (u, i) =>
+          u -> ((us.size.toLong, quota, i < quota))
+        }
+      }
+      assert(got.size == urls.size, s"seed=$seed row count")
+      ref.foreach { case (u, v) => assert(got(u) == v, s"seed=$seed budget=$budget url=$u") }
+      // the mix respects the budget up to quantization
+      val nKept = got.values.count(_._3)
+      assert(nKept <= budget, s"seed=$seed kept $nKept > budget $budget")
+    }
+  }
+
   test("spanDedup: distributed spans == sequential window-count + island merge") {
     import spark.implicits._
     val k = 3
