@@ -68,6 +68,45 @@ object SparkEntry {
     * which also makes the oracle trivially auditable). `//` and Spark's
     * `div` both truncate on the non-negative operands used here, and
     * every sum is integral, so the two engines agree exactly. */
+  /** DuckDB-dialect twin of CurationOps.lg1024Sql (`//` and `<<` instead
+    * of `div`/`shiftleft`; identical integer semantics). */
+  private def duckLg(x: String): String = {
+    val v = s"CAST(($x) AS BIGINT)"
+    val il = s"(length(bin($v)) - 1)"
+    s"($il * 1024 + CASE WHEN $il >= 10" +
+      s" THEN $v // (CAST(1 AS BIGINT) << ($il - 10))" +
+      s" ELSE $v * (CAST(1 AS BIGINT) << (10 - $il)) END - 1024)"
+  }
+
+  private def dsirOracleSql(budget: Long): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |ttok AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM read_parquet('{AUX}/eval_docs/*.parquet')),
+       |r AS (SELECT tok, count(*) AS r_f FROM tok GROUP BY tok),
+       |t AS (SELECT tok, count(*) AS t_f FROM ttok GROUP BY tok),
+       |d AS (SELECT coalesce(r.tok, t.tok) AS tok,
+       |        coalesce(r_f, 0) AS r_f, coalesce(t_f, 0) AS t_f
+       |      FROM r FULL OUTER JOIN t ON r.tok = t.tok),
+       |s AS (SELECT CAST(sum(r_f) AS BIGINT) AS totr,
+       |             CAST(sum(t_f) AS BIGINT) AS tott,
+       |             count(*) AS totv FROM d),
+       |w AS (SELECT tok,
+       |        ${duckLg("t_f + 1")} - ${duckLg("r_f + 1")}
+       |        + ${duckLg("totr + totv")} - ${duckLg("tott + totv")} AS wlg
+       |      FROM d, s WHERE r_f > 0),
+       |sc AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(wlg) AS BIGINT) AS score
+       |       FROM tok JOIN w USING (tok) GROUP BY doc_id),
+       |al AS (SELECT dd.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
+       |         coalesce(sc.score, 0) AS score
+       |       FROM (SELECT doc_id FROM documents) dd LEFT JOIN sc USING (doc_id)),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM al)
+       |SELECT doc_id, n_tok, score, rk <= $budget AS kept
+       |FROM rk ORDER BY doc_id""".stripMargin
+
   private def hubCtes: String = {
     val steps = (1 to HubIterations).map { i =>
       s"""pr$i AS (
@@ -1063,6 +1102,14 @@ object SparkEntry {
       CurationOps.temperatureMix(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/pages_urls"), budget = 600)
         .orderBy(col("url"))),
+    // DSIR importance resampling: per-token add-one log-likelihood-ratio
+    // weights (target = the planted eval_docs sample) in pure-integer
+    // 1/1024-bit units, per-doc bag-of-tokens score, top-200 keep — the
+    // oracle replays weights, scores, and the rank selection exactly
+    "q_dsir_select" -> ((s, dir) =>
+      CurationOps.importanceResample(t(s, dir, "documents"),
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/eval_docs"), budget = 200)
+        .orderBy(col("doc_id"))),
     // per-host boilerplate removal (CCNet-style): a line appearing in
     // ≥ 500/1000 of a host's docs (host having ≥ 3 docs) is stripped from
     // ALL of that host's docs; integer-threshold verdict so the oracle
@@ -2510,6 +2557,12 @@ object SparkEntry {
         |      FROM p JOIN q USING (host))
         |SELECT url, host, n_host, quota, rk <= quota AS kept
         |FROM r ORDER BY url""".stripMargin,
+    // DSIR: the integer lg1024 weight pipeline replayed end-to-end over
+    // raw token STRINGS (the engine's 16-byte key never trusted); every
+    // arithmetic step (bin-length msb, power-of-two shift, floor div,
+    // integer sums) is exact in both engines, so weights, scores, and
+    // the global (score desc, doc_id) rank selection match bit-for-bit
+    "q_dsir_select" -> dsirOracleSql(budget = 200),
     // per-host boilerplate: document frequency per (host, line), the
     // integer-threshold verdict, and retained-text reassembly — all
     // re-derived over the raw line STRINGS (the engine's 2x64-bit line

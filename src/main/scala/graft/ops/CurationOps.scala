@@ -623,6 +623,112 @@ object CurationOps {
       .agg(min(col("v")).as("quantile"))
   }
 
+  /** Fixed-point binary logarithm: lg1024(x) = floor-exact integer
+    * approximation of 1024·log2(x) for x ≥ 1, as msb·1024 plus the next
+    * ten bits of x (linear interpolation between powers of two, error
+    * < 0.09% of a bit, strictly monotone). Every operation — bin-string
+    * length for the msb index, power-of-two shift, floor division — is
+    * exact and engine-independent, unlike log()/log2() whose last ulp
+    * is not guaranteed correctly rounded in either engine. Emitted as a
+    * SQL fragment because Spark's Column API fixes shift amounts at
+    * plan time while the SQL function accepts expressions. */
+  private[graft] def lg1024Sql(x: String): String = {
+    val v = s"CAST(($x) AS BIGINT)"
+    val il = s"(length(bin($v)) - 1)"
+    s"($il * 1024 + CASE WHEN $il >= 10" +
+      s" THEN $v div shiftleft(CAST(1 AS BIGINT), $il - 10)" +
+      s" ELSE $v * shiftleft(CAST(1 AS BIGINT), 10 - $il) END - 1024)"
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its bag of tokens is under a small
+    * TARGET-domain sample than under the raw corpus, then keep the top
+    * `budget` documents. Per-feature weight is the add-one-smoothed
+    * log-likelihood ratio
+    *
+    *   w(f) = log2 p̂_target(f) − log2 p̂_raw(f)
+    *        = lg(t_f+1) − lg(T+V) − lg(r_f+1) + lg(R+V)
+    *
+    * computed ENTIRELY in integers via [[lg1024Sql]] (units of 1/1024
+    * bit) so the DuckDB oracle replays every weight and every document
+    * score bit-for-bit; a document's score is the sum of w(f) over its
+    * token OCCURRENCES (bag semantics, as in the paper's hashed n-gram
+    * generative model). Features are exact tokens keyed by the 16-byte
+    * double hash ([[lineKey]] odds argument); DSIR's hashed-bucket
+    * reduction is a memory optimization this keys-only plan doesn't
+    * need — the hash here compresses the exchange, not the feature space.
+    *
+    * Plan at 100 TB: token text is dropped before any exchange (both
+    * count aggs and the probe join run on 16-byte keys with map-side
+    * partial combine); the feature dictionary is co-partitioned with the
+    * probe side (both exit the same hash exchange — no broadcast needed,
+    * the dictionary scales with corpus vocabulary); T/R/V cross the
+    * driver as three scalars; and the top-k selection is the two-phase
+    * salted window (per-salt-bucket prune to ≤ budget, then an exact
+    * global rank over ≤ salt·budget survivors) so the final total order
+    * never sorts more than salt·budget rows in one task. The dictionary
+    * is checkpointed once because the scalar agg and the probe join
+    * both consume it (the multi-branch rule, BENCH/PLANS.md). */
+  def importanceResample(documents: DataFrame, targetDocs: DataFrame,
+      budget: Long, salt: Int = 8): DataFrame = {
+    require(budget >= 1 && salt >= 1)
+    val docTok = documents
+      .select(col("doc_id").cast("long").as("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .select(Seq(col("doc_id")) ++ lineKey(col("tok")): _*)
+    val rawCnt = docTok.groupBy("h1", "h2").agg(count(lit(1)).as("r_f"))
+    val tgtCnt = targetDocs
+      .select(wsTokens(col("text")).as("w"))
+      .select(explode(col("w")).as("tok"))
+      .select(lineKey(col("tok")): _*)
+      .groupBy("h1", "h2").agg(count(lit(1)).as("t_f"))
+    val dict = rawCnt.join(tgtCnt, Seq("h1", "h2"), "full_outer")
+      .select(col("h1"), col("h2"),
+        coalesce(col("r_f"), lit(0L)).as("r_f"),
+        coalesce(col("t_f"), lit(0L)).as("t_f"))
+      .localCheckpoint(true)
+    val Array(totR, totT, totV) = {
+      val row = dict.agg(sum(col("r_f")), sum(col("t_f")), count(lit(1))).first()
+      Array(row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    // lg(T+V) and lg(R+V) are per-run constants: fold them on the driver
+    // (same integer formula) so the per-feature expression is two lg's
+    val constBias = {
+      def lgL(x: Long): Long = {
+        val il = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        val frac = if (il >= 10) x >> (il - 10) else x << (10 - il)
+        il.toLong * 1024L + frac - 1024L
+      }
+      lgL(totR + totV) - lgL(totT + totV)
+    }
+    val weights = dict.filter(col("r_f") > 0) // target-only features are never probed
+      .withColumn("wlg",
+        expr(s"${lg1024Sql("t_f + 1")} - ${lg1024Sql("r_f + 1")} + CAST($constBias AS BIGINT)"))
+      .select(col("h1"), col("h2"), col("wlg"))
+    val scored = docTok.join(weights, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wlg")).as("score"))
+    val all = documents.select(col("doc_id").cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("salt_b", pmod(xxhash64(col("doc_id")), lit(salt)))
+    val wSalt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("salt_b")).orderBy(col("score").desc, col("doc_id"))
+    val phase1 = all.withColumn("rk1", row_number().over(wSalt))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val kept = phase1.filter(col("rk1") <= budget)
+      .withColumn("rk", row_number().over(wGlobal))
+      .select(col("doc_id"), col("n_tok"), col("score"),
+        (col("rk") <= budget).as("kept"))
+    val dropped = phase1.filter(col("rk1") > budget)
+      .select(col("doc_id"), col("n_tok"), col("score"), lit(false).as("kept"))
+    kept.unionByName(dropped)
+  }
+
   def curationVerdict(documents: DataFrame, pairs: DataFrame,
       minQuality: Double = DefaultMinQuality,
       maxDupLineFrac: Double = DefaultMaxDupLineFrac,

@@ -127,6 +127,50 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("importanceResample: integer DSIR weights + top-k == sequential reference") {
+    import spark.implicits._
+    def lgL(x: Long): Long = {
+      val il = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val frac = if (il >= 10) x >> (il - 10) else x << (10 - il)
+      il.toLong * 1024L + frac - 1024L
+    }
+    for (seed <- Seq(31, 32)) {
+      val r = new Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa")
+      def doc(): String =
+        (0 until (1 + r.nextInt(30))).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+      val docs = (0L until 40L).map(i => (i, doc()))
+      // target skewed to the first three vocab words
+      val tgt = (0 until 6).map(_ =>
+        (0 until 10).map(_ => vocab(r.nextInt(3))).mkString(" "))
+      val budget = 12L
+      val got = CurationOps.importanceResample(
+        docs.toDF("doc_id", "text"), tgt.toDF("text"), budget = budget, salt = 4)
+        .collect().map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+      // sequential reference
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val rf = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tf = tgt.flatMap(_.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val totR = rf.values.sum; val totT = tf.values.sum
+      val totV = (rf.keySet ++ tf.keySet).size.toLong
+      val w = rf.map { case (k, rc) =>
+        k -> (lgL(tf.getOrElse(k, 0L) + 1) - lgL(rc + 1) + lgL(totR + totV) - lgL(totT + totV))
+      }
+      val scores = toks.map { case (id, ts) =>
+        (id, ts.size.toLong, ts.map(w).sum)
+      }
+      val keptIds = scores.sortBy { case (id, _, s) => (-s, id) }.take(budget.toInt)
+        .map(_._1).toSet
+      scores.foreach { case (id, n, s) =>
+        assert(got(id) == ((n, s, keptIds(id))), s"seed=$seed doc=$id")
+      }
+      assert(got.values.count(_._3) == budget, s"seed=$seed kept count")
+    }
+  }
+
   test("spanDedup: distributed spans == sequential window-count + island merge") {
     import spark.implicits._
     val k = 3
