@@ -107,6 +107,53 @@ object SparkEntry {
        |SELECT doc_id, n_tok, score, rk <= $budget AS kept
        |FROM rk ORDER BY doc_id""".stripMargin
 
+  private def lmPerplexityOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |ttok AS (
+       |  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       |  FROM read_parquet('{AUX}/eval_docs/*.parquet')),
+       |tbi AS (
+       |  SELECT unnest(CASE WHEN len(w) >= 2
+       |    THEN [{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]
+       |    ELSE [] END, recursive := true) FROM ttok),
+       |c2 AS (SELECT w1, w2, count(*) AS c2cnt FROM tbi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1cnt FROM tbi GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT t) AS v
+       |       FROM (SELECT unnest(w) AS t FROM ttok)),
+       |dbi AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+       |    THEN [{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]
+       |    ELSE [] END, recursive := true) FROM tok),
+       |term AS (
+       |  SELECT doc_id,
+       |    ${duckLg("coalesce(c1cnt, 0) + vv.v")}
+       |      - ${duckLg("coalesce(c2cnt, 0) + 1")} AS t
+       |  FROM dbi LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+       |  CROSS JOIN vv),
+       |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(t) AS BIGINT) AS nll
+       |       FROM term GROUP BY doc_id),
+       |al AS (SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+       |         coalesce(nll, 0) AS nll,
+       |         CASE WHEN coalesce(n_bigrams, 0) >= 1
+       |           THEN coalesce(nll, 0) // n_bigrams ELSE 0 END AS ppl1024
+       |       FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)),
+       |cnts AS (SELECT ppl1024 AS v, count(*) AS c FROM al
+       |         WHERE n_bigrams >= 1 GROUP BY 1),
+       |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+       |        FROM cnts),
+       |t33 AS (SELECT MIN(v) AS t33 FROM cum WHERE cum >= (33 * n + 99) // 100),
+       |t67 AS (SELECT MIN(v) AS t67 FROM cum WHERE cum >= (67 * n + 99) // 100)
+       |SELECT doc_id, n_bigrams, nll, ppl1024,
+       |  CASE WHEN n_bigrams = 0 THEN 'short'
+       |       WHEN ppl1024 <= t33 THEN 'head'
+       |       WHEN ppl1024 <= t67 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM al CROSS JOIN t33 CROSS JOIN t67 ORDER BY doc_id""".stripMargin
+
   private def hubCtes: String = {
     val steps = (1 to HubIterations).map { i =>
       s"""pr$i AS (
@@ -1109,6 +1156,14 @@ object SparkEntry {
     "q_dsir_select" -> ((s, dir) =>
       CurationOps.importanceResample(t(s, dir, "documents"),
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/eval_docs"), budget = 200)
+        .orderBy(col("doc_id"))),
+    // CCNet-style perplexity bucketing: add-one bigram LM trained on the
+    // planted eval_docs sample, integer 1/1024-bit document cross-entropy,
+    // head/middle/tail split at the exact 33rd/67th percentiles — the
+    // oracle replays the model, every doc score, and both thresholds
+    "q_lm_perplexity" -> ((s, dir) =>
+      CurationOps.perplexityBuckets(t(s, dir, "documents"),
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/eval_docs"))
         .orderBy(col("doc_id"))),
     // per-host boilerplate removal (CCNet-style): a line appearing in
     // ≥ 500/1000 of a host's docs (host having ≥ 3 docs) is stripped from
@@ -2563,6 +2618,12 @@ object SparkEntry {
     // integer sums) is exact in both engines, so weights, scores, and
     // the global (score desc, doc_id) rank selection match bit-for-bit
     "q_dsir_select" -> dsirOracleSql(budget = 200),
+    // CCNet perplexity buckets: the bigram model (pair counts, prefix
+    // counts, vocabulary), every per-doc integer nll/ppl, and the two
+    // tercile thresholds re-derived over raw token STRINGS — the pinned
+    // quantile tie rule (smallest v with cum >= (p*n+99)//100) and the
+    // lg1024 fixed-point log make every engine step exactly replayable
+    "q_lm_perplexity" -> lmPerplexityOracleSql,
     // per-host boilerplate: document frequency per (host, line), the
     // integer-threshold verdict, and retained-text reassembly — all
     // re-derived over the raw line STRINGS (the engine's 2x64-bit line

@@ -729,6 +729,97 @@ object CurationOps {
     kept.unionByName(dropped)
   }
 
+  /** Word bigrams of an ALREADY-MATERIALIZED token-array column, as an
+    * array of (w1, w2) structs (empty under 2 tokens). Same O(T²) rule
+    * as [[tokenNgramsOf]]: `w` must be a plain attribute. */
+  private def bigramPairs(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** CCNet-style language-model perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): train a bigram model on a small TARGET-quality sample, score
+    * every corpus document by its per-token cross-entropy under that
+    * model, and split the corpus into head / middle / tail at the exact
+    * 33rd and 67th percentiles of the score distribution (CCNet's tercile
+    * rule; documents too short to hold a bigram land in 'short').
+    *
+    * The model is add-one-smoothed conditional bigram likelihood; a
+    * document's negative log-likelihood in 1/1024-bit units is
+    *
+    *   nll(d) = Σ_i  lg(c1(w_i) + V) − lg(c2(w_i, w_{i+1}) + 1)
+    *
+    * with c2 = target bigram count, c1 = target bigram-PREFIX count
+    * (Σ_x c2(w,x), the exact conditional denominator), V = distinct
+    * target vocabulary — every term computed with the fixed-point
+    * integer [[lg1024Sql]] so the DuckDB oracle replays every document
+    * score and both tercile thresholds bit-for-bit (each term ≥ 0
+    * because c2 ≤ c1 and 1 ≤ V). Per-token score `ppl1024` =
+    * nll div n_bigrams — 1024·bits-per-token, monotone in perplexity.
+    *
+    * Plan at 100 TB: the target model is two keyed count tables (bigram,
+    * prefix) built from one narrow pass over the sample; corpus bigrams
+    * are exploded to 16-byte double-hash keys BEFORE any exchange (token
+    * strings never shuffle) and probe the two dictionaries with hash
+    * joins (dictionaries are sample-vocabulary-sized — bigger than a
+    * broadcast wants at a 10^6-doc target sample, so no broadcast is
+    * forced; AQE picks one when the sample is small); V crosses the
+    * driver as one scalar. The per-doc score frame is checkpointed once
+    * (quantile branch + bucketing branch — the multi-branch rule; it is
+    * also the artifact a production pipeline persists). The tercile
+    * computation aggregates to distinct (ppl1024, count) pairs first —
+    * ppl1024 is bounded by 1024·lg(corpus) ≈ 2^16 distinct values, so
+    * the single-partition cumulative window is O(2^16) at ANY corpus
+    * size — and the two thresholds return to the plan as literals. */
+  def perplexityBuckets(documents: DataFrame, targetDocs: DataFrame): DataFrame = {
+    val tgtTok = targetDocs.select(wsTokens(col("text")).as("w"))
+    val tgtBi = tgtTok.select(explode(bigramPairs(col("w"))).as("b"))
+      .select(concat(col("b.w1"), lit(" "), col("b.w2")).as("bi"), col("b.w1").as("w1"))
+    val biCnt = tgtBi.select(lineKey(col("bi")): _*)
+      .groupBy("h1", "h2").agg(count(lit(1)).as("c2cnt"))
+    val preCnt = tgtBi.select(lineKey(col("w1")).zip(Seq("p1", "p2"))
+        .map { case (c, n) => c.as(n) }: _*)
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c1cnt"))
+    val totV = tgtTok.select(explode(col("w")).as("t"))
+      .select(lineKey(col("t")): _*).distinct().count()
+    require(totV >= 1, "target sample must contain at least one token")
+    val docBi = documents
+      .select(col("doc_id").cast("long").as("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigramPairs(col("w"))).as("b"))
+      .select(Seq(col("doc_id"),
+        concat(col("b.w1"), lit(" "), col("b.w2")).as("bi"), col("b.w1").as("w1")): _*)
+    val docKeys = docBi.select(Seq(col("doc_id")) ++ lineKey(col("bi")) ++
+      lineKey(col("w1")).zip(Seq("p1", "p2")).map { case (c, n) => c.as(n) }: _*)
+    val terms = docKeys
+      .join(biCnt, Seq("h1", "h2"), "left")
+      .join(preCnt, Seq("p1", "p2"), "left")
+      .withColumn("t", expr(
+        s"${lg1024Sql(s"coalesce(c1cnt, 0L) + ${totV}L")} - ${lg1024Sql("coalesce(c2cnt, 0L) + 1L")}"))
+    val sc = terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("t")).as("nll"))
+    val scored = documents.select(col("doc_id").cast("long").as("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll"), lit(0L)).as("nll"))
+      .withColumn("ppl1024",
+        when(col("n_bigrams") >= 1, expr("nll div n_bigrams")).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    val thresholds = exactQuantiles(
+      scored.filter(col("n_bigrams") >= 1).withColumn("g", lit(1)),
+      "g", "ppl1024", Seq(33, 67))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val t33 = thresholds.getOrElse(33, 0L)
+    val t67 = thresholds.getOrElse(67, 0L)
+    scored.withColumn("bucket",
+      when(col("n_bigrams") === 0, lit("short"))
+        .when(col("ppl1024") <= t33, lit("head"))
+        .when(col("ppl1024") <= t67, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   def curationVerdict(documents: DataFrame, pairs: DataFrame,
       minQuality: Double = DefaultMinQuality,
       maxDupLineFrac: Double = DefaultMaxDupLineFrac,

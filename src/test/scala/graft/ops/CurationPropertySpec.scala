@@ -171,6 +171,49 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("perplexityBuckets: integer bigram LM + terciles == sequential reference") {
+    import spark.implicits._
+    def lgL(x: Long): Long = {
+      val il = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val frac = if (il >= 10) x >> (il - 10) else x << (10 - il)
+      il.toLong * 1024L + frac - 1024L
+    }
+    for (seed <- Seq(41, 42)) {
+      val r = new Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      def doc(minLen: Int): String =
+        (0 until (minLen + r.nextInt(25))).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+      // include a one-token doc to exercise the 'short' bucket
+      val docs = (0L until 30L).map(i => (i, if (i == 7L) "alpha" else doc(2)))
+      val tgt = (0 until 5).map(_ => doc(8))
+      val got = CurationOps.perplexityBuckets(docs.toDF("doc_id", "text"), tgt.toDF("text"))
+        .collect().map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+      // sequential reference
+      def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val tBi = tgt.map(toks).flatMap(w => w.zip(w.drop(1)))
+      val c2 = tBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = tBi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val v = tgt.flatMap(toks).distinct.size.toLong
+      val scored = docs.map { case (id, t) =>
+        val w = toks(t); val bi = w.zip(w.drop(1))
+        val nll = bi.map(b => lgL(c1.getOrElse(b._1, 0L) + v) - lgL(c2.getOrElse(b, 0L) + 1)).sum
+        val ppl = if (bi.nonEmpty) nll / bi.size else 0L
+        (id, bi.size.toLong, nll, ppl)
+      }
+      val ppls = scored.filter(_._2 >= 1).map(_._4).sorted
+      val n = ppls.size.toLong
+      def thr(p: Int): Long = ppls((((p * n + 99) / 100) - 1).toInt)
+      val (t33, t67) = (thr(33), thr(67))
+      scored.foreach { case (id, nb, nll, ppl) =>
+        val bucket = if (nb == 0) "short"
+          else if (ppl <= t33) "head" else if (ppl <= t67) "middle" else "tail"
+        assert(got(id) == ((nb, nll, ppl, bucket)), s"seed=$seed doc=$id")
+      }
+      assert(got(7L)._4 == "short", s"seed=$seed short bucket")
+    }
+  }
+
   test("spanDedup: distributed spans == sequential window-count + island merge") {
     import spark.implicits._
     val k = 3
