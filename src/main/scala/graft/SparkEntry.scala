@@ -1165,6 +1165,12 @@ object SparkEntry {
       CurationOps.perplexityBuckets(t(s, dir, "documents"),
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/eval_docs"))
         .orderBy(col("doc_id"))),
+    // PMI collocations: top-50 bigrams by integer fixed-point pointwise
+    // mutual information (pair count >= 5), ranked (pmi desc, w1, w2) —
+    // the oracle recomputes counts, every pmi term, and the rank order
+    "q_pmi_top" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"), minCount = 5, k = 50)
+        .orderBy(col("rank"))),
     // per-host boilerplate removal (CCNet-style): a line appearing in
     // ≥ 500/1000 of a host's docs (host having ≥ 3 docs) is stripped from
     // ALL of that host's docs; integer-threshold verdict so the oracle
@@ -2624,6 +2630,31 @@ object SparkEntry {
     // quantile tie rule (smallest v with cum >= (p*n+99)//100) and the
     // lg1024 fixed-point log make every engine step exactly replayable
     "q_lm_perplexity" -> lmPerplexityOracleSql,
+    // PMI collocations: bigram/unigram counts, the per-term fixed-point
+    // lg sum, and the (pmi desc, w1, w2) rank replayed over raw strings
+    "q_pmi_top" ->
+      s"""WITH tok AS (
+         |  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         |  FROM documents),
+         |bi AS (
+         |  SELECT unnest(CASE WHEN len(w) >= 2
+         |    THEN [{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]
+         |    ELSE [] END, recursive := true) FROM tok),
+         |c2 AS (SELECT w1, w2, count(*) AS pair_n FROM bi GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(pair_n) AS BIGINT) AS n FROM c2),
+         |uni AS (SELECT t, count(*) AS uni_n
+         |        FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
+         |sc AS (
+         |  SELECT w1, w2, pair_n, ua.uni_n AS left_n, ub.uni_n AS right_n,
+         |    ${duckLg("pair_n")} + ${duckLg("nn.n")}
+         |      - ${duckLg("ua.uni_n")} - ${duckLg("ub.uni_n")} AS pmi1024
+         |  FROM c2 JOIN uni ua ON c2.w1 = ua.t JOIN uni ub ON c2.w2 = ub.t
+         |  CROSS JOIN nn WHERE pair_n >= 5),
+         |rk AS (SELECT *, CAST(row_number()
+         |         OVER (ORDER BY pmi1024 DESC, w1, w2) AS INTEGER) AS "rank"
+         |       FROM sc)
+         |SELECT "rank", w1, w2, pair_n, left_n, right_n, pmi1024
+         |FROM rk WHERE "rank" <= 50 ORDER BY "rank"""".stripMargin,
     // per-host boilerplate: document frequency per (host, line), the
     // integer-threshold verdict, and retained-text reassembly — all
     // re-derived over the raw line STRINGS (the engine's 2x64-bit line

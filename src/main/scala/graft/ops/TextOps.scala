@@ -130,6 +130,98 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** PMI collocation mining: the corpus's top-k token bigrams by
+    * pointwise mutual information (Church & Hanks 1990), the standard
+    * distributional-statistics pass next to tf-idf — it surfaces
+    * multi-word expressions ("new york", "machine learning") that
+    * frequency alone buries under stopword pairs. PMI in fixed-point
+    * 1/1024-bit units via the integer lg1024 kernel:
+    *
+    *   pmi(w1,w2) = lg(c2) + lg(N) − lg(c1(w1)) − lg(c1(w2))
+    *
+    * (term-by-term fixed-point, so no c2·N product to overflow at
+    * 10^13-token scale), over bigrams with c2 ≥ `minCount`; ranked by
+    * (pmi desc, w1, w2) — the string tie-break makes the contract
+    * deterministic — and the top `k` rows emitted with their rank.
+    *
+    * Scale shape: bigram and unigram counting shuffle 16-byte double-hash
+    * keys with map-side partial combine (strings never ride the count
+    * exchanges); the candidate prune is the tf-idf kth-threshold pattern
+    * PER SALT BUCKET — each bucket keeps rows tying-or-beating its own
+    * k-th pmi, so the union provably covers the global top-k while no
+    * task ever ranks more than its bucket — and only the ≤ salt·k(+ties)
+    * survivors get their strings back via a semi-joined rescan with the
+    * q_ngram_topk collision tripwire (a 128-bit collision would merge
+    * two bigrams' counts; the recovery join raises instead of
+    * mislabeling). N crosses the driver as one scalar, folded into the
+    * pmi expression as a literal. */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5,
+      k: Int = 50, salt: Int = 8): DataFrame = {
+    require(minCount >= 1 && k >= 1 && salt >= 1)
+    import org.apache.spark.sql.expressions.Window
+    def keyed(c: Column, names: (String, String)): Seq[Column] =
+      Seq(xxhash64(c).as(names._1), xxhash64(reverse(c)).as(names._2))
+    val toks = documents.select(CurationOps.wsTokens(col("text")).as("w"))
+    val bi = toks
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(concat(col("b.w1"), lit(" "), col("b.w2")).as("bi"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val biKeys = bi.select(
+      keyed(col("bi"), ("h1", "h2")) ++
+        keyed(col("w1"), ("p1", "p2")) ++ keyed(col("w2"), ("s1", "s2")): _*)
+    // p/s keys are functions of the (h1,h2) key — min() just picks the
+    // constant, keeping the agg a single map-side-combining shuffle
+    val c2 = biKeys.groupBy("h1", "h2").agg(count(lit(1)).as("pair_n"),
+      min(col("p1")).as("p1"), min(col("p2")).as("p2"),
+      min(col("s1")).as("s1"), min(col("s2")).as("s2"))
+      .localCheckpoint(true) // two consumers: the N scalar + the pmi join
+    val totN = c2.agg(sum(col("pair_n"))).first().getLong(0)
+    val lgN = {
+      val il = 63 - java.lang.Long.numberOfLeadingZeros(totN)
+      val frac = if (il >= 10) totN >> (il - 10) else totN << (10 - il)
+      il.toLong * 1024L + frac - 1024L
+    }
+    val uni = toks.select(explode(col("w")).as("t"))
+      .select(keyed(col("t"), ("u1", "u2")): _*)
+      .groupBy("u1", "u2").agg(count(lit(1)).as("uni_n"))
+    val scoredKeys = c2.filter(col("pair_n") >= minCount)
+      .join(uni.withColumnRenamed("uni_n", "left_n"),
+        col("p1") === col("u1") && col("p2") === col("u2")).drop("u1", "u2")
+      .join(uni.withColumnRenamed("uni_n", "right_n"),
+        col("s1") === col("u1") && col("s2") === col("u2")).drop("u1", "u2")
+      .withColumn("pmi1024", expr(
+        s"${CurationOps.lg1024Sql("pair_n")} + ${lgN}L" +
+          s" - ${CurationOps.lg1024Sql("left_n")} - ${CurationOps.lg1024Sql("right_n")}"))
+      .withColumn("salt_b", pmod(xxhash64(col("h1"), col("h2")), lit(salt)))
+      .localCheckpoint(true) // two consumers: bucket kth + candidate filter
+    val byPmi = Window.partitionBy(col("salt_b")).orderBy(col("pmi1024").desc)
+    val kth = scoredKeys.withColumn("rn", row_number().over(byPmi))
+      .filter(col("rn") <= k)
+      .groupBy(col("salt_b")).agg(min(col("pmi1024")).as("kth"))
+    val cand = scoredKeys.join(kth, Seq("salt_b"))
+      .filter(col("pmi1024") >= col("kth"))
+    val names = bi.select(Seq(col("w1"), col("w2")) ++ keyed(col("bi"), ("h1", "h2")): _*)
+      .join(cand.select(col("h1"), col("h2")), Seq("h1", "h2"), "left_semi")
+      .dropDuplicates("h1", "h2", "w1", "w2")
+    val perKey = Window.partitionBy(col("h1"), col("h2"))
+    val recovered = names.withColumn("n_strings", count(lit(1)).over(perKey))
+      .select(col("h1"), col("h2"),
+        when(col("n_strings") > 1,
+          raise_error(concat(lit("128-bit collision on bigram key "),
+            col("h1").cast("string"), lit("/"), col("h2").cast("string"))))
+          .otherwise(col("w1")).as("w1"), col("w2"))
+    cand.join(recovered, Seq("h1", "h2"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi1024").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("w1"), col("w2"), col("pair_n"),
+        col("left_n"), col("right_n"), col("pmi1024"))
+  }
+
   /** documents enriched with all per-row text metrics — single narrow
     * projection over the scan (verify with .explain: one WholeStageCodegen). */
   def enrich(documents: DataFrame): DataFrame =

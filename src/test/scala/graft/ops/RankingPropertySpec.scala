@@ -86,4 +86,53 @@ class RankingPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pmiCollocations: salted kth-threshold top-k == sequential PMI rank") {
+    import spark.implicits._
+    def lgL(x: Long): Long = {
+      val il = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val frac = if (il >= 10) x >> (il - 10) else x << (10 - il)
+      il.toLong * 1024L + frac - 1024L
+    }
+    for (seed <- Seq(51, 52)) {
+      val r = new Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      // plant a strong collocation: "aa bb" follows "aa" 60% of the time
+      def doc(): String = {
+        val sb = new StringBuilder
+        var prev = ""
+        for (_ <- 0 until (10 + r.nextInt(40))) {
+          val t = if (prev == "aa" && r.nextInt(10) < 6) "bb"
+                  else vocab(r.nextInt(vocab.size))
+          if (sb.nonEmpty) sb += ' '
+          sb ++= t; prev = t
+        }
+        sb.toString
+      }
+      val docs = (0L until 40L).map(i => (i, doc()))
+      val (minCount, k) = (3L, 10)
+      val got = TextOps.pmiCollocations(docs.toDF("doc_id", "text"),
+        minCount = minCount, k = k, salt = 4)
+        .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2),
+          x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))
+        .sortBy(_._1)
+      // sequential reference
+      def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val allBi = docs.flatMap { case (_, t) => val w = toks(t); w.zip(w.drop(1)) }
+      val c2 = allBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val uni = docs.flatMap(d => toks(d._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = allBi.size.toLong
+      val want = c2.toSeq.filter(_._2 >= minCount).map { case ((w1, w2), pn) =>
+        (w1, w2, pn, uni(w1), uni(w2),
+          lgL(pn) + lgL(n) - lgL(uni(w1)) - lgL(uni(w2)))
+      }.sortBy { case (w1, w2, _, _, _, pmi) => (-pmi, w1, w2) }.take(k)
+        .zipWithIndex.map { case ((w1, w2, pn, ln, rn, pmi), i) =>
+          (i + 1, w1, w2, pn, ln, rn, pmi)
+        }
+      assert(got.toSeq == want, s"seed=$seed")
+      // the planted collocation must surface at rank 1
+      assert(got.head._2 == "aa" && got.head._3 == "bb", s"seed=$seed planted pair")
+    }
+  }
 }
