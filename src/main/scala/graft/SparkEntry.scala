@@ -1171,6 +1171,13 @@ object SparkEntry {
     "q_pmi_top" -> ((s, dir) =>
       TextOps.pmiCollocations(t(s, dir, "documents"), minCount = 5, k = 50)
         .orderBy(col("rank"))),
+    // EXACT set-similarity self-join (AllPairs prefix filter): every pair
+    // with shingle Jaccard >= 1/2 plus exact integer intersection/union —
+    // the deterministic complement to q_minhash_neardups on the same
+    // shingle space; the oracle is brute-force all-pairs over raw strings
+    "q_simjoin_exact" -> ((s, dir) =>
+      DedupOps.prefixSimJoin(t(s, dir, "documents"), tn = 1, td = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // per-host boilerplate removal (CCNet-style): a line appearing in
     // ≥ 500/1000 of a host's docs (host having ≥ 3 docs) is stripped from
     // ALL of that host's docs; integer-threshold verdict so the oracle
@@ -1539,6 +1546,21 @@ object SparkEntry {
     "q_dedup_incremental" ->
       (shingleJaccardCte +
         """SELECT a, b FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin),
+    // exact prefix-filter join: brute-force all-pairs integer Jaccard
+    // over raw shingle STRINGS (the engine's 64-bit shingle hashes never
+    // trusted); inter/union counts and the tn/td integer threshold match
+    // the engine's exactly
+    "q_simjoin_exact" ->
+      (shingleSetsCte +
+        """pq AS (
+          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter_n,
+          |    CAST(len(x.sh) + len(y.sh)
+          |      - len(list_intersect(x.sh, y.sh)) AS BIGINT) AS union_n
+          |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+          |SELECT doc_a, doc_b, inter_n, union_n
+          |FROM pq WHERE inter_n * 2 >= union_n
+          |ORDER BY doc_a, doc_b""".stripMargin),
     "q_jaccard_verify" ->
       (shingleJaccardCte +
         """SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin),
@@ -3031,7 +3053,7 @@ object SparkEntry {
   /** Shared CTE: per-doc distinct word-3-gram shingle sets and all-pairs
     * exact Jaccard. Tokenization mirrors TextHash.tokenHashes (runs of
     * letters/digits, lowercased; the corpus is ASCII). */
-  private def shingleJaccardCte: String =
+  private def shingleSetsCte: String =
     """WITH t AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
       |  FROM documents),
@@ -3042,7 +3064,11 @@ object SparkEntry {
       |      WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
       |      ELSE [] END) AS sh
       |  FROM t),
-      |p AS (
+      |""".stripMargin
+
+  private def shingleJaccardCte: String =
+    shingleSetsCte +
+    """p AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b,
       |    len(list_intersect(x.sh, y.sh))::DOUBLE
       |      / greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1) AS j

@@ -297,6 +297,68 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs/
+    * PPJoin family — Bayardo et al. 2007, Vernica et al. 2010 "Efficient
+    * Parallel Set-Similarity Joins Using MapReduce"): every document
+    * pair whose shingle-set Jaccard is ≥ tn/td, with exact integer
+    * intersection/union sizes — no probabilistic recall, the exact
+    * complement to the MinHash path (same shingle space, so the two
+    * operators cross-check each other on the same corpus).
+    *
+    * Prefix-filter theorem: order all shingles by (document frequency
+    * asc, shingle) — rarest first. If J(A,B) ≥ t then |A∩B| ≥ ⌈t·ma⌉,
+    * so A's first (ma − ⌈t·ma⌉ + 1) shingles and B's first
+    * (mb − ⌈t·mb⌉ + 1) shingles must share an element — candidates are
+    * the equi-join of the PREFIX frames only, complete by construction
+    * (PrefixSimJoinSpec proves equality with brute force). The classic
+    * length filter (max(ma,mb)·tn ≤ min(ma,mb)·td) prunes candidates
+    * before the verify join.
+    *
+    * Scale shape: the df agg and the prefix self-join shuffle 8-byte
+    * shingle hashes + ids only; per-doc prefix ranking is a doc-keyed
+    * window (state bounded by doc length); only candidate pairs pay the
+    * exact array-intersect verify, and both verify sides rejoin the
+    * build-once shingle arrays BY ID. Candidate volume is output-bound
+    * plus prefix false positives — rare by construction since prefixes
+    * hold each doc's globally rarest shingles; a B-member clone family
+    * still costs B²/2 candidates, but so does its exact OUTPUT — that
+    * quadratic mass is the answer, not overhead (the LSH family guard
+    * exists precisely for pipelines that can accept star-edge
+    * degradation instead; this operator is the one that can't). */
+  def prefixSimJoin(documents: DataFrame, tn: Int = 1, td: Int = 2,
+      shingleWidth: Int = 3): DataFrame = {
+    require(tn >= 1 && td >= tn, s"threshold tn/td in (0,1]: $tn/$td")
+    import org.apache.spark.sql.expressions.Window
+    // build-once arrays feed the prefix build AND both verify sides
+    val sets = shingleSets(documents, shingleWidth).localCheckpoint(true)
+    val dt = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("m"),
+      explode(col("shingles")).as("sh"))
+    val dfq = dt.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = dt.join(dfq, Seq("sh"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .withColumn("pi", col("m") - expr(s"($tn * m + $td - 1) div $td") + lit(1))
+    val prefix = ranked.filter(col("r") <= col("pi"))
+      .select(col("sh"), col("doc_id"), col("m"))
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.sh") === col("pb.sh") && col("pa.doc_id") < col("pb.doc_id") &&
+          greatest(col("pa.m"), col("pb.m")) * tn <=
+            least(col("pa.m"), col("pb.m")) * td)
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true) // feeds both sides of the verify join
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sha")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("shb")),
+        Seq("doc_b"))
+      .withColumn("inter_n", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("union_n",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter_n"))
+      .filter(col("inter_n") * td >= col("union_n") * tn)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"))
+  }
+
   /** End-to-end verified near-dups: LSH candidates -> exact Jaccard >=
     * threshold. With k=64/bands=16 (4 rows per band), recall at J=0.9 is
     * 1-(1-0.9^4)^16 ≈ 1-3e-8 — effectively exact on well-separated
