@@ -180,6 +180,36 @@ object SparkEntry {
        |SELECT node, score FROM pr$HubIterations
        |ORDER BY score DESC, node LIMIT 100""".stripMargin
 
+  private def pprOracleSql: String = {
+    val steps = (1 to HubIterations).map { i =>
+      s"""ppr$i AS (
+         |  SELECT nd.node,
+         |    CAST(CASE WHEN nd.node IN (SELECT node FROM seeds)
+         |           THEN 150000000 ELSE 0 END
+         |      + (85 * COALESCE(c.insum, 0)) // 100 AS BIGINT) AS score
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.score // o.d) AS BIGINT) AS insum
+         |    FROM ppr${i - 1} p JOIN edges e ON p.node = e.src
+         |    JOIN outd o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT subj AS src, objValue AS dst
+       |  FROM read_parquet('{AUX}/triples/*.parquet')
+       |  WHERE objKind = 0 AND subj <> objValue),
+       |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |seeds AS (
+       |  SELECT subj AS node FROM read_parquet('{AUX}/triples/*.parquet')
+       |  GROUP BY subj ORDER BY count(*) DESC, subj LIMIT 3),
+       |ppr0 AS (
+       |  SELECT node, CAST(CASE WHEN node IN (SELECT node FROM seeds)
+       |    THEN 1000000000 ELSE 0 END AS BIGINT) AS score FROM nodes),
+       |$steps
+       |SELECT node, score FROM ppr$HubIterations
+       |ORDER BY score DESC, node LIMIT 100""".stripMargin
+  }
+
   /** The HITS oracle: GraphMaterialize.hitsScores' half-steps unrolled —
     * each computes raw integer in-sums then rescales by the exact scalar
     * MAX (GREATEST(...,1) mirrors the engine's empty-frame guard);
@@ -718,6 +748,20 @@ object SparkEntry {
         iterations = HubIterations)
         .orderBy(col("score").desc, col("node"))
         .limit(100)),
+    // personalized PageRank: teleport mass on the 3 highest-out-triple
+    // seed subjects (deterministic tie-break), 6 integer fixed-point
+    // iterations — the oracle unrolls every iteration as a staged CTE
+    "q_kg_ppr" -> ((s, dir) => {
+      val seeds = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+        .groupBy(col("subj")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("subj")).limit(3)
+        .collect().map(_.getString(0)).toSeq // bounded collect: 3 rows
+      GraphMaterialize.personalizedPageRank(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        seeds, iterations = HubIterations)
+        .orderBy(col("score").desc, col("node"))
+        .limit(100)
+    }),
     // entity co-occurrence edges (degree-capped per-subject self-join);
     // oracle = the same dedup/cap/join/HAVING in plain SQL
     "q_kg_cooccur" -> ((s, dir) =>
@@ -1859,6 +1903,9 @@ object SparkEntry {
         |FROM read_parquet('{AUX}/triples/*.parquet')
         |GROUP BY subj ORDER BY degree DESC, subj LIMIT 100""".stripMargin,
     "q_kg_hubs" -> hubOracleSql,
+    // PPR: same staged-CTE unroll as q_kg_hubs with the teleport mass
+    // restricted to the 3 deterministic seed subjects
+    "q_kg_ppr" -> pprOracleSql,
     "q_kg_hubdict" -> hubDictOracleSql,
     "q_kg_cooccur" ->
       """WITH po AS (

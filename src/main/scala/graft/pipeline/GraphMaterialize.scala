@@ -541,6 +541,52 @@ object GraphMaterialize {
     scores
   }
 
+  /** Personalized PageRank (random walk with restart) over the directed
+    * entity graph: [[hubScores]] with the teleport mass concentrated on a
+    * SEED set instead of spread uniformly — scores rank entities by
+    * closeness to the seeds' neighborhood (topic-conditional importance:
+    * "which entities matter *around these*", where global PageRank
+    * answers "which matter overall"). Same integer fixed-point rule as
+    * [[hubScores]] (scores in 1e-9 units, per-edge contribution
+    * `score div out_degree`, damping 85/100 via exact integer ops) so a
+    * staged-CTE SQL oracle replays every iteration bit-for-bit; seeds
+    * restart at 150000000 per iteration, non-seeds at 0, init 1e9 on
+    * seeds only.
+    *
+    * Scale shape inherited from [[hubScores]]: the loop-invariant
+    * (src, dst, out_degree) frame and the node set are checkpointed once;
+    * each iteration is one key-partitioned join + one map-side-combining
+    * sum agg; scores are 16-byte (node, long) rows. The seed predicate is
+    * a broadcast-trivial `isin` literal (seed sets are human-scale). */
+  def personalizedPageRank(triples: DataFrame, seeds: Seq[String],
+      iterations: Int = 6): DataFrame = {
+    require(seeds.nonEmpty, "seed set must be non-empty")
+    val edges = triples
+      .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
+      .select(col("subj").as("src"), col("objValue").as("dst"))
+      .distinct()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(outDeg, Seq("src")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val isSeed = col("node").isin(seeds: _*)
+    var scores = nodes.select(col("node"),
+      when(isSeed, lit(1000000000L)).otherwise(lit(0L)).as("score"))
+    for (_ <- 1 to iterations) {
+      val inSums = withDeg
+        .join(scores.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("score div d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("insum"))
+      scores = nodes.join(inSums, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(150000000L)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(insum, 0L)) div 100")).as("score"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
+
   /** HITS hubs/authorities over the directed entity graph (Kleinberg
     * 1999, public paper — PAPERS.md): the mutually-recursive twin of
     * [[hubScores]]' PageRank — auth(v) = Σ hub(u) over in-edges,

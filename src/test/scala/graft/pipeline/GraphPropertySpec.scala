@@ -48,6 +48,41 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank: seeded fixed point == sequential reference, bit-exact") {
+    import spark.implicits._
+    for (seed <- Seq(21, 22)) {
+      val rows = randomTriples(seed, nodes = 30, edges = 150)
+      val df = rows.toDF("subj", "pred", "objKind", "objValue")
+      val seeds = Seq("n0", "n1")
+      val iters = 4
+      val got = GraphMaterialize.personalizedPageRank(df, seeds, iterations = iters)
+        .as[(String, Long)].collect().toMap
+
+      val edges = rows.collect { case (s, _, k, o) if k == 0 && s != o => (s, o) }.distinct
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val seedSet = seeds.toSet
+      var score = nodes.map(n => n -> (if (seedSet(n)) 1000000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        edges.foreach { case (s, d) => in(d) += score(s) / outDeg(s) }
+        score = nodes.map(n =>
+          n -> ((if (seedSet(n)) 150000000L else 0L) + 85L * in(n) / 100L)).toMap
+      }
+      assert(got == score, s"seed=$seed")
+      // teleport-free nodes unreachable from the seeds must stay at 0
+      val reach = {
+        var f = seedSet; var done = false
+        while (!done) {
+          val nf = f ++ edges.collect { case (s, d) if f(s) => d }
+          done = nf == f; f = nf
+        }
+        f
+      }
+      nodes.filterNot(reach).foreach(n => assert(got(n) == 0L, s"seed=$seed node=$n"))
+    }
+  }
+
   test("hitsScores: distributed max-rescaled fixed point == sequential reference, bit-exact") {
     import spark.implicits._
     for (seed <- Seq(31, 32, 33)) {
