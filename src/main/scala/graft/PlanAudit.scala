@@ -37,7 +37,8 @@ object PlanAudit {
     "q_kg_cms_hot", "q_kg_hits", "q_kg_bloom_prune", "q_doc_quantiles",
     "q_span_dedup", "q_semdedup", "q_asof_join", "q_range_band",
     "q_zorder", "q_kmeans", "q_temperature_mix", "q_dsir_select",
-    "q_lm_perplexity", "q_pmi_top", "q_simjoin_exact", "q_kg_ppr")
+    "q_lm_perplexity", "q_pmi_top", "q_simjoin_exact", "q_kg_ppr",
+    "q_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

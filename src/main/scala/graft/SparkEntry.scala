@@ -1222,6 +1222,13 @@ object SparkEntry {
     "q_simjoin_exact" -> ((s, dir) =>
       DedupOps.prefixSimJoin(t(s, dir, "documents"), tn = 1, td = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // BPE merge training (Sennrich-style) over the corpus word-frequency
+    // table: 12 merges, each = positional pair count weighted by word
+    // freq, (cnt desc, w1, w2) argmax, leftmost non-overlapping apply —
+    // the oracle unrolls the identical loop as 12 materialized CTE stages
+    "q_bpe_merges" -> ((s, dir) =>
+      BpeOps.trainMerges(t(s, dir, "documents"), numMerges = 12)
+        .orderBy(col("rank"))),
     // per-host boilerplate removal (CCNet-style): a line appearing in
     // ≥ 500/1000 of a host's docs (host having ≥ 3 docs) is stripped from
     // ALL of that host's docs; integer-threshold verdict so the oracle
@@ -2724,6 +2731,10 @@ object SparkEntry {
          |       FROM sc)
          |SELECT "rank", w1, w2, pair_n, left_n, right_n, pmi1024
          |FROM rk WHERE "rank" <= 50 ORDER BY "rank"""".stripMargin,
+    // BPE merges: the identical 12-stage loop unrolled as materialized
+    // CTEs — every pair count, the exact argmax tie-break, and every
+    // vocabulary rewrite replayed over raw word strings stage by stage
+    "q_bpe_merges" -> BpeOps.trainMergesOracleSql(numMerges = 12),
     // per-host boilerplate: document frequency per (host, line), the
     // integer-threshold verdict, and retained-text reassembly — all
     // re-derived over the raw line STRINGS (the engine's 2x64-bit line
