@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5h"
+  private val Version = "r5i"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -272,6 +272,34 @@ object AuxTables {
       docs.select(id.as("doc_id"),
           concat(base, email, phone, ip).as("text"))
         .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_pii")
+    }
+
+    // 3f2. planted mixed-quality corpus for the NB quality classifier:
+    //      240 docs, even doc_ids drawn from a "curated" vocabulary and
+    //      odd from a "spammy" one (both mixed with shared filler every
+    //      third token), all integer-indexed so the text is bit-stable.
+    //      Seed slices doc_id%12==0 / ==1 are pure-class by parity; the
+    //      classifier must separate the remaining docs by class, and
+    //      q_quality_classifier's oracle re-derives everything over this
+    //      parquet.
+    locally {
+      import org.apache.spark.sql.functions._
+      def voc(ws: Seq[String]) = array(ws.map(lit): _*)
+      val curated = voc(Seq("study", "method", "analysis", "survey", "results",
+        "citation", "reference", "theory", "evidence", "review"))
+      val spammy = voc(Seq("free", "click", "buy", "cheap", "offer",
+        "casino", "win", "pills", "now", "deal"))
+      val fill = voc(Seq("the", "and", "with", "for", "from",
+        "this", "that", "page", "site", "text"))
+      spark.range(240).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(29)), j => {
+            val pick = (pmod(col("id") * 11 + j * 5, lit(10)) + 1).cast("int")
+            when(pmod(j, lit(3)) === 0,
+              element_at(fill, (pmod(col("id") * 7 + j, lit(10)) + 1).cast("int")))
+              .otherwise(when(pmod(col("id"), lit(2)) === 0,
+                element_at(curated, pick)).otherwise(element_at(spammy, pick)))
+          }), " ").as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_quality")
     }
 
     // 3g. the KG corpus' page urls (Zipf-distributed hosts, so a small

@@ -107,6 +107,43 @@ object SparkEntry {
        |SELECT doc_id, n_tok, score, rk <= $budget AS kept
        |FROM rk ORDER BY doc_id""".stripMargin
 
+  /** q_quality_classifier oracle: the Naive Bayes training counts, joint
+    * vocabulary, folded normalizer bias (also the unseen-token floor),
+    * doc-count prior, per-document score, and the zero-threshold verdict
+    * all re-derived over raw token STRINGS with the integer duckLg. */
+  private def qualityClassifierOracleSql: String = {
+    val bias = s"${duckLg("totn + totv")} - ${duckLg("totp + totv")}"
+    s"""WITH qd AS (SELECT * FROM read_parquet('{AUX}/docs_quality/*.parquet')),
+       |tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM qd),
+       |ptok AS (SELECT tok FROM tok WHERE doc_id % 12 = 0),
+       |ntok AS (SELECT tok FROM tok WHERE doc_id % 12 = 1),
+       |p AS (SELECT tok, count(*) AS p_f FROM ptok GROUP BY tok),
+       |n AS (SELECT tok, count(*) AS n_f FROM ntok GROUP BY tok),
+       |d AS (SELECT coalesce(p.tok, n.tok) AS tok,
+       |        coalesce(p_f, 0) AS p_f, coalesce(n_f, 0) AS n_f
+       |      FROM p FULL OUTER JOIN n ON p.tok = n.tok),
+       |s AS (SELECT CAST(sum(p_f) AS BIGINT) AS totp,
+       |             CAST(sum(n_f) AS BIGINT) AS totn,
+       |             count(*) AS totv FROM d),
+       |pri AS (SELECT ${duckLg("(SELECT count(*) FROM qd WHERE doc_id % 12 = 0)")}
+       |             - ${duckLg("(SELECT count(*) FROM qd WHERE doc_id % 12 = 1)")} AS prior),
+       |w AS (SELECT tok,
+       |        ${duckLg("p_f + 1")} - ${duckLg("n_f + 1")} + $bias AS wlg
+       |      FROM d, s),
+       |sc AS (SELECT doc_id, count(*) AS n_tok,
+       |         CAST(sum(coalesce(wlg, $bias)) AS BIGINT) AS sc
+       |       FROM tok LEFT JOIN w USING (tok) CROSS JOIN s GROUP BY doc_id)
+       |SELECT al.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
+       |       coalesce(sc.sc, 0) + prior AS score,
+       |       (coalesce(sc.sc, 0) + prior) > 0 AS keep
+       |FROM (SELECT doc_id FROM qd) al
+       |LEFT JOIN sc USING (doc_id) CROSS JOIN pri
+       |ORDER BY al.doc_id""".stripMargin
+  }
+
   private def lmPerplexityOracleSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id,
@@ -1201,6 +1238,19 @@ object SparkEntry {
       CurationOps.importanceResample(t(s, dir, "documents"),
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/eval_docs"), budget = 200)
         .orderBy(col("doc_id"))),
+    // GPT-3-style quality classifier: add-one Naive Bayes log-odds over
+    // bag-of-tokens, on the planted mixed-quality corpus (even doc_ids
+    // curated-voc, odd spammy-voc); seeds = the pure-class doc_id%12==0/1
+    // slices; keep at score>0 must recover the parity split. Integer
+    // lg1024 end-to-end — the oracle replays every class count, weight,
+    // smoothed-floor fallback, prior, score, and verdict
+    "q_quality_classifier" -> ((s, dir) => {
+      val qd = s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_quality")
+      CurationOps.qualityClassifier(qd,
+        qd.filter(col("doc_id") % 12 === 0),
+        qd.filter(col("doc_id") % 12 === 1))
+        .orderBy(col("doc_id"))
+    }),
     // CCNet-style perplexity bucketing: add-one bigram LM trained on the
     // planted eval_docs sample, integer 1/1024-bit document cross-entropy,
     // head/middle/tail split at the exact 33rd/67th percentiles — the
@@ -2700,6 +2750,10 @@ object SparkEntry {
     // integer sums) is exact in both engines, so weights, scores, and
     // the global (score desc, doc_id) rank selection match bit-for-bit
     "q_dsir_select" -> dsirOracleSql(budget = 200),
+    // NB quality classifier: class counts, joint-vocab smoothing, the
+    // unseen-token floor, the doc-count prior, and the verdict replayed
+    // in integer duckLg over raw token strings
+    "q_quality_classifier" -> qualityClassifierOracleSql,
     // CCNet perplexity buckets: the bigram model (pair counts, prefix
     // counts, vocabulary), every per-doc integer nll/ppl, and the two
     // tercile thresholds re-derived over raw token STRINGS — the pinned

@@ -632,6 +632,15 @@ object CurationOps {
     * is not guaranteed correctly rounded in either engine. Emitted as a
     * SQL fragment because Spark's Column API fixes shift amounts at
     * plan time while the SQL function accepts expressions. */
+  /** Driver-side twin of [[lg1024Sql]] for folding per-run constant
+    * terms (x ≥ 1): same msb + next-ten-bits formula, bit-identical. */
+  private[graft] def lgL(x: Long): Long = {
+    require(x >= 1, s"lgL domain is x >= 1, got $x")
+    val il = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val frac = if (il >= 10) x >> (il - 10) else x << (10 - il)
+    il.toLong * 1024L + frac - 1024L
+  }
+
   private[graft] def lg1024Sql(x: String): String = {
     val v = s"CAST(($x) AS BIGINT)"
     val il = s"(length(bin($v)) - 1)"
@@ -694,14 +703,7 @@ object CurationOps {
     }
     // lg(T+V) and lg(R+V) are per-run constants: fold them on the driver
     // (same integer formula) so the per-feature expression is two lg's
-    val constBias = {
-      def lgL(x: Long): Long = {
-        val il = 63 - java.lang.Long.numberOfLeadingZeros(x)
-        val frac = if (il >= 10) x >> (il - 10) else x << (10 - il)
-        il.toLong * 1024L + frac - 1024L
-      }
-      lgL(totR + totV) - lgL(totT + totV)
-    }
+    val constBias = lgL(totR + totV) - lgL(totT + totV)
     val weights = dict.filter(col("r_f") > 0) // target-only features are never probed
       .withColumn("wlg",
         expr(s"${lg1024Sql("t_f + 1")} - ${lg1024Sql("r_f + 1")} + CAST($constBias AS BIGINT)"))
@@ -727,6 +729,73 @@ object CurationOps {
     val dropped = phase1.filter(col("rk1") > budget)
       .select(col("doc_id"), col("n_tok"), col("score"), lit(false).as("kept"))
     kept.unionByName(dropped)
+  }
+
+  /** GPT-3/LLaMA-style document quality classifier: a linear classifier
+    * over bag-of-token counts, trained on a POSITIVE seed sample
+    * (curated, "wiki-like" text) against a NEGATIVE seed sample (raw web
+    * slice), scoring EVERY corpus document and emitting a keep/drop
+    * verdict at the zero log-odds threshold — the curation step the
+    * GPT-3 / LLaMA / palm data papers all run between dedup and mixing.
+    * The model is multinomial Naive Bayes with add-one smoothing — the
+    * classic closed-form linear classifier: per-token weight
+    *
+    *   w(f) = [lg(p_f+1) − lg(P+V)] − [lg(n_f+1) − lg(N+V)]
+    *
+    * (p_f/n_f = class token counts, P/N = class totals, V = joint
+    * vocabulary), document score = Σ_occurrences w(f) + lg(|pos docs|)
+    * − lg(|neg docs|), all in fixed-point 1/1024-bit integers via
+    * [[lg1024Sql]]/[[lgL]] so the DuckDB oracle replays every weight,
+    * every score, and every verdict bit-for-bit. Tokens the training
+    * sets never saw still contribute the smoothed floor (the folded
+    * `constBias`) — unlike [[importanceResample]], which prunes them —
+    * because a verdict at a FIXED threshold must price unknown mass.
+    *
+    * Plan at 100 TB: token strings are dropped before every exchange
+    * (class counts and the weight probe ride the 2×64-bit [[lineKey]]);
+    * the weight dictionary is vocabulary-sized (Heaps' law) and
+    * co-partitioned with the probe side — both exit the same hash
+    * exchange, no broadcast needed; the four normalizers cross the
+    * driver as scalars and fold into two literals; the verdict is a
+    * per-doc agg with map-side partial combine. Training cost is one
+    * scan of each seed sample; scoring is one corpus scan pruned to
+    * [doc_id, text]. */
+  def qualityClassifier(documents: DataFrame, positives: DataFrame,
+      negatives: DataFrame): DataFrame = {
+    val docTok = documents
+      .select(col("doc_id").cast("long").as("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .select(Seq(col("doc_id")) ++ lineKey(col("tok")): _*)
+    def classCnt(df: DataFrame, as: String) = df
+      .select(wsTokens(col("text")).as("w"))
+      .select(explode(col("w")).as("tok"))
+      .select(lineKey(col("tok")): _*)
+      .groupBy("h1", "h2").agg(count(lit(1)).as(as))
+    val dict = classCnt(positives, "p_f")
+      .join(classCnt(negatives, "n_f"), Seq("h1", "h2"), "full_outer")
+      .select(col("h1"), col("h2"),
+        coalesce(col("p_f"), lit(0L)).as("p_f"),
+        coalesce(col("n_f"), lit(0L)).as("n_f"))
+      .localCheckpoint(true) // consumed by the totals agg AND the probe join
+    val Array(totP, totN, totV) = {
+      val row = dict.agg(sum(col("p_f")), sum(col("n_f")), count(lit(1))).first()
+      Array(row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val constBias = lgL(totN + totV) - lgL(totP + totV)
+    val prior1024 = lgL(positives.count()) - lgL(negatives.count())
+    val weights = dict.withColumn("wlg",
+      expr(s"${lg1024Sql("p_f + 1")} - ${lg1024Sql("n_f + 1")} + CAST($constBias AS BIGINT)"))
+      .select(col("h1"), col("h2"), col("wlg"))
+    val scored = docTok.join(weights, Seq("h1", "h2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("wlg"), lit(constBias))).as("s"))
+    documents.select(col("doc_id").cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        (coalesce(col("s"), lit(0L)) + lit(prior1024)).as("score"),
+        ((coalesce(col("s"), lit(0L)) + lit(prior1024)) > 0).as("keep"))
   }
 
   /** Word bigrams of an ALREADY-MATERIALIZED token-array column, as an
