@@ -109,15 +109,22 @@ object BpeOps {
     * ranks reproduce the trainer's vocabulary states exactly).
     *
     * Scale shape: the merge list is bounded driver state (it IS the
-    * tokenizer model — tens of thousands of rows in production, literals
-    * here), so application is a PURE NARROW MAP: the explode, the symbol
-    * encoding, all `merges.length` chained replaces, and the piece count
-    * fuse into one whole-stage-codegen projection with zero exchanges;
-    * the only shuffle is the per-doc count agg (map-side combine). At
-    * 100 TB this is the ideal plan — embarrassingly parallel, no state,
-    * no join. */
+    * tokenizer model), so application is a PURE NARROW MAP: the explode,
+    * the symbol encoding, all `merges.length` chained replaces, and the
+    * piece count fuse into one whole-stage-codegen projection with zero
+    * exchanges; the only shuffle is the per-doc count agg (map-side
+    * combine). At 100 TB this is the ideal plan — embarrassingly
+    * parallel, no state, no join. The literal replace CHAIN is the
+    * right realization up to O(10³) merges (bounded expression tree,
+    * oracle-replayable step for step); a production-vocabulary model
+    * (tens of thousands of merges) keeps the identical narrow-map plan
+    * but swaps the chain for a per-partition rank-map loop — enforced
+    * here so the expression tree can't silently outgrow codegen. */
   def applyMerges(documents: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 1024,
+      s"replace-chain application is bounded at 1024 merges (got ${merges.size}); " +
+        "larger models need the per-partition rank-map variant")
     val tok = documents
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(CurationOps.wsTokens(lower(col("text")))).as("word"))
