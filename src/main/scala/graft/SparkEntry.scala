@@ -111,7 +111,34 @@ object SparkEntry {
     * vocabulary, folded normalizer bias (also the unseen-token floor),
     * doc-count prior, per-document score, and the zero-threshold verdict
     * all re-derived over raw token STRINGS with the integer duckLg. */
-  private def qualityClassifierOracleSql: String = {
+  private def qualityClassifierOracleSql: String =
+    s"""$classifierScoreCtes
+       |SELECT doc_id, n_tok, score, keep FROM cls ORDER BY doc_id""".stripMargin
+
+  /** q_pareto_select oracle: the classifier scores (shared CTEs) pushed
+    * through the integer Pareto noisy-threshold rule — min-max
+    * normalization, the MINSTD draw, and the fixed-point log comparison
+    * replayed verbatim (`//` == Spark `div` on these non-negative
+    * operands). */
+  private def paretoSelectOracleSql(alpha: Int): String =
+    s"""$classifierScoreCtes,
+       |mm AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+       |              CAST(greatest(max(score) - min(score), 1) AS BIGINT) AS span
+       |       FROM cls),
+       |pr AS (SELECT doc_id, score,
+       |         CAST(((score - mn) * 1048576) // span AS BIGINT) AS s_norm,
+       |         (doc_id * 48271 + 13) % 1048576 + 1 AS u
+       |       FROM cls, mm)
+       |SELECT doc_id, score, u,
+       |  (${duckLg("u")} - 20480) <=
+       |    -$alpha * (${duckLg("1048576 + (1048576 - s_norm)")} - 20480) AS keep
+       |FROM pr ORDER BY doc_id""".stripMargin
+
+  /** Shared WITH-clause of the classifier-family oracles: Naive Bayes
+    * training counts, joint vocabulary, folded normalizer bias (also the
+    * unseen-token floor), doc-count prior, and the per-document scored
+    * frame `cls` — all over raw token STRINGS with the integer duckLg. */
+  private def classifierScoreCtes: String = {
     val bias = s"${duckLg("totn + totv")} - ${duckLg("totp + totv")}"
     s"""WITH qd AS (SELECT * FROM read_parquet('{AUX}/docs_quality/*.parquet')),
        |tok AS (
@@ -135,13 +162,12 @@ object SparkEntry {
        |      FROM d, s),
        |sc AS (SELECT doc_id, count(*) AS n_tok,
        |         CAST(sum(coalesce(wlg, $bias)) AS BIGINT) AS sc
-       |       FROM tok LEFT JOIN w USING (tok) CROSS JOIN s GROUP BY doc_id)
-       |SELECT al.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
-       |       coalesce(sc.sc, 0) + prior AS score,
-       |       (coalesce(sc.sc, 0) + prior) > 0 AS keep
-       |FROM (SELECT doc_id FROM qd) al
-       |LEFT JOIN sc USING (doc_id) CROSS JOIN pri
-       |ORDER BY al.doc_id""".stripMargin
+       |       FROM tok LEFT JOIN w USING (tok) CROSS JOIN s GROUP BY doc_id),
+       |cls AS (SELECT al.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
+       |          coalesce(sc.sc, 0) + prior AS score,
+       |          (coalesce(sc.sc, 0) + prior) > 0 AS keep
+       |        FROM (SELECT doc_id FROM qd) al
+       |        LEFT JOIN sc USING (doc_id) CROSS JOIN pri)""".stripMargin
   }
 
   private def lmPerplexityOracleSql: String =
@@ -1251,6 +1277,19 @@ object SparkEntry {
         qd.filter(col("doc_id") % 12 === 1))
         .orderBy(col("doc_id"))
     }),
+    // GPT-3-style Pareto noisy-threshold selection over the classifier
+    // scores (alpha=2 so the heavy tail is visible at corpus size): high
+    // scores always survive, the worst survive with probability ~2^-2 —
+    // every draw and verdict replayed in integer SQL
+    "q_pareto_select" -> ((s, dir) => {
+      val qd = s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_quality")
+      CurationOps.paretoSelect(
+        CurationOps.qualityClassifier(qd,
+          qd.filter(col("doc_id") % 12 === 0),
+          qd.filter(col("doc_id") % 12 === 1))
+          .select(col("doc_id"), col("score")), alpha = 2)
+        .orderBy(col("doc_id"))
+    }),
     // CCNet-style perplexity bucketing: add-one bigram LM trained on the
     // planted eval_docs sample, integer 1/1024-bit document cross-entropy,
     // head/middle/tail split at the exact 33rd/67th percentiles — the
@@ -1363,6 +1402,20 @@ object SparkEntry {
         maxDepth = 4, maxDegree = 1024)
         .withColumn("depth", col("depth").cast("long"))
         .orderBy(col("src"), col("dst"))),
+    // SPARQL 1.1 property-path algebra: (knows|sameAs)+ within 3 hops,
+    // then ^location — "pair each person with every entity located at a
+    // place their extended network reaches". Exercises all four
+    // combinators (atom, alternation, bounded plus, inverse, sequence)
+    // in one expression; the oracle is the same algebra in SQL
+    "q_kg_path" -> ((s, dir) => {
+      import GraphQuery.PathExpr._
+      GraphQuery.evalPath(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"),
+        Seq2(Plus(Alt(P("http://xmlns.com/foaf/0.1/knows"),
+                      P("http://schema.org/sameAs")), maxDepth = 3),
+             Inv(P("http://schema.org/location"))))
+        .orderBy(col("src"), col("dst"))
+    }),
     // CONSTRUCT-style derived-edge materialization: events get a direct
     // affiliatedWith edge to their location hub's parent org (the
     // shortcut-edge pass that makes multi-hop relations queryable);
@@ -2764,6 +2817,9 @@ object SparkEntry {
     // unseen-token floor, the doc-count prior, and the verdict replayed
     // in integer duckLg over raw token strings
     "q_quality_classifier" -> qualityClassifierOracleSql,
+    // Pareto selection: classifier scores (shared CTEs) through the
+    // integer noisy-threshold rule — normalization, draw, verdict
+    "q_pareto_select" -> paretoSelectOracleSql(alpha = 2),
     // CCNet perplexity buckets: the bigram model (pair counts, prefix
     // counts, vocabulary), every per-doc integer nll/ppl, and the two
     // tercile thresholds re-derived over raw token STRINGS — the pinned
@@ -2932,6 +2988,31 @@ object SparkEntry {
         |  FROM r JOIN ext e ON r.dst = e.src WHERE r.depth < 4)
         |SELECT src, dst, CAST(MIN(depth) AS BIGINT) AS depth
         |FROM r GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+    // property-path algebra: the identical expression in SQL — base =
+    // knows|sameAs atoms unioned, bounded recursive closure with the
+    // same hub guard, composed with the inverted children atom
+    "q_kg_path" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT subj AS src, objValue AS dst
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE pred IN ('http://xmlns.com/foaf/0.1/knows',
+        |                 'http://schema.org/sameAs')
+        |    AND objKind = 0 AND subj <> objValue),
+        |ok AS (SELECT src FROM base GROUP BY src HAVING count(*) <= 1024),
+        |ext AS (SELECT b.src, b.dst FROM base b JOIN ok USING (src)),
+        |r AS (
+        |  SELECT src, dst, 1 AS depth FROM base
+        |  UNION
+        |  SELECT r.src, e.dst, r.depth + 1
+        |  FROM r JOIN ext e ON r.dst = e.src WHERE r.depth < 3),
+        |plus AS (SELECT DISTINCT src, dst FROM r),
+        |locinv AS (
+        |  SELECT DISTINCT objValue AS src, subj AS dst
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE pred = 'http://schema.org/location' AND objKind = 0)
+        |SELECT DISTINCT p.src AS src, c.dst AS dst
+        |FROM plus p JOIN locinv c ON p.dst = c.src
+        |ORDER BY src, dst""".stripMargin,
     "q_kg_construct" ->
       """WITH tr AS (
         |  SELECT subj, pred, objKind, objValue

@@ -798,6 +798,43 @@ object CurationOps {
         ((coalesce(col("s"), lit(0L)) + lit(prior1024)) > 0).as("keep"))
   }
 
+  /** GPT-3-style Pareto noisy-threshold selection over classifier
+    * scores (Brown et al. 2020, Appendix A: a document is kept when
+    * `score > 1 − pareto(α)` — low-scored documents survive with
+    * heavy-tailed probability, so filtering never collapses the kept
+    * distribution onto the classifier's mode). Integer surrogate, exact
+    * in both engines: scores min-max-normalize to s ∈ [0, 2^20] (one
+    * scalar agg), the per-doc uniform draw is the repo's MINSTD LCG
+    * (`(doc_id·48271 + 13) mod 2^20 + 1` — [[sampleStratified]]'s
+    * replayable-splitter convention), and the Pareto tail
+    * `P(keep | deficit d) = (1 + d)^{−α}` becomes a comparison of
+    * fixed-point logs: keep iff
+    *
+    *   lg1024(u) − 20480  ≤  −α · (lg1024(2^20 + (2^20 − s)) − 20480)
+    *
+    * (20480 = lg1024(2^20) exactly). A perfect-score document is ALWAYS
+    * kept (both sides 0 at deficit 0, `≤` convention); the worst score
+    * survives with probability ~2^−α. Deterministic, no floats, no RNG
+    * state — the DuckDB oracle replays every draw and verdict.
+    *
+    * Plan: one scalar min/max agg, then a single narrow codegen
+    * projection per row — zero joins, zero shuffles beyond the agg. */
+  def paretoSelect(scored: DataFrame, alpha: Int = 9): DataFrame = {
+    require(alpha >= 1, s"alpha must be >= 1, got $alpha")
+    val row = scored.agg(min(col("score")), max(col("score"))).first()
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val span = math.max(mx - mn, 1L)
+    scored.select(col("doc_id").cast("long").as("doc_id"), col("score"))
+      .withColumn("s_norm",
+        expr(s"CAST(((score - (${mn}L)) * 1048576L) div ${span}L AS BIGINT)"))
+      .withColumn("u",
+        pmod(col("doc_id") * lit(48271L) + lit(13L), lit(1048576L)) + lit(1L))
+      .withColumn("keep", expr(
+        s"${lg1024Sql("u")} - 20480 <= " +
+          s"-$alpha * (${lg1024Sql("1048576 + (1048576 - s_norm)")} - 20480)"))
+      .select(col("doc_id"), col("score"), col("u"), col("keep"))
+  }
+
   /** Word bigrams of an ALREADY-MATERIALIZED token-array column, as an
     * array of (w1, w2) structs (empty under 2 tokens). Same O(T²) rule
     * as [[tokenNgramsOf]]: `w` must be a plain attribute. */

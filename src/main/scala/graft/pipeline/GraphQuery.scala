@@ -238,12 +238,27 @@ object GraphQuery {
     * the listed predicates. */
   def pathClosure(triples: DataFrame, preds: Seq[String], maxDepth: Int,
       maxDegree: Int): DataFrame = {
-    require(maxDepth >= 1, "maxDepth must be >= 1")
     require(preds.nonEmpty, "no predicates")
-    val edges = triples
-      .filter(col("pred").isin(preds: _*) && col("objKind") === 0 &&
-        col("subj") =!= col("objValue"))
-      .select(col("subj").as("src"), col("objValue").as("dst"))
+    closureOfEdges(
+      triples
+        .filter(col("pred").isin(preds: _*) && col("objKind") === 0)
+        .select(col("subj").as("src"), col("objValue").as("dst")),
+      maxDepth, maxDegree)
+  }
+
+  /** Bounded `+` closure of an ARBITRARY (src, dst) pair frame — the
+    * core [[pathClosure]] always used, factored out so [[evalPath]] can
+    * close over composed path results, not just predicate edge sets.
+    * Self-edges are trimmed (they change no reachability pair except
+    * (a,a), and dropping them is what bounds the BFS); sources above
+    * `maxDegree` still emit their direct edges but are not extended
+    * THROUGH (the hub guard, unchanged). */
+  private[pipeline] def closureOfEdges(pairs: DataFrame, maxDepth: Int,
+      maxDegree: Int): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val edges = pairs
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
       .distinct().localCheckpoint(true)
     val okSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDegree).select(col("src"))
@@ -274,5 +289,67 @@ object GraphQuery {
       frontierNonEmpty = !fresh.isEmpty
     }
     levels.reduce(_ unionByName _)
+  }
+
+  /** SPARQL 1.1 property-path algebra (the composable subset with
+    * graph-bounded semantics): a predicate atom, inverse `^p`, sequence
+    * `p/q`, alternation `p|q`, and bounded `p+`. Zero-length forms
+    * (`p?`, `p*`) are deliberately absent — their identity component
+    * ranges over every RDF term in the graph, which at corpus scale is a
+    * full-term-universe materialization, not a path query; rewrite
+    * `p?`-shaped needs as `Alt` with an explicit identity frame.
+    *
+    * Reference scope: json-ld.net has no query surface at all (SURVEY.md
+    * §2.4) — this extends the repo's read-side layer the same way
+    * [[matchBgp]]/[[pathClosure]] do, and stays fully ANSI-SQL-
+    * expressible (joins/unions/one bounded recursive CTE) for the
+    * driver's DuckDB oracle. */
+  sealed trait PathExpr extends Product with Serializable
+  object PathExpr {
+    /** Atom: all (subj, obj) pairs of one predicate, IRI objects only. */
+    final case class P(iri: String) extends PathExpr
+    /** Inverse `^p`: swap endpoints. */
+    final case class Inv(p: PathExpr) extends PathExpr
+    /** Sequence `a/b`: relational composition. */
+    final case class Seq2(a: PathExpr, b: PathExpr) extends PathExpr
+    /** Alternation `a|b`: union. */
+    final case class Alt(a: PathExpr, b: PathExpr) extends PathExpr
+    /** Bounded `p+`: 1..maxDepth compositions of `p` with itself. */
+    final case class Plus(p: PathExpr, maxDepth: Int,
+        maxDegree: Int = 1024) extends PathExpr
+  }
+
+  /** Evaluate a path expression to its DISTINCT (src, dst) pair frame.
+    *
+    * Plan shape: atoms are constant-pruned scans of the triples table
+    * (predicate pushdown visible in the scan); Inv is a projection;
+    * Seq2 is one equi-join on the composition key (both sides exit
+    * distinct-aggregation exchanges hashed on that key — co-partitioned
+    * under AQE); Alt is a union folded into the downstream distinct;
+    * Plus checkpoints per BFS level via [[closureOfEdges]] (the hub
+    * guard and per-level anti-join semantics of [[pathClosure]],
+    * unchanged). Expression trees are human-query-sized, so plan depth
+    * is bounded by the query, not the data; only Plus materializes. */
+  def evalPath(triples: DataFrame, expr: PathExpr): DataFrame = {
+    import PathExpr._
+    expr match {
+      case P(iri) =>
+        triples.filter(col("pred") === iri && col("objKind") === 0)
+          .select(col("subj").as("src"), col("objValue").as("dst"))
+          .distinct()
+      case Inv(p) =>
+        evalPath(triples, p)
+          .select(col("dst").as("src"), col("src").as("dst"))
+      case Seq2(a, b) =>
+        evalPath(triples, a).as("a")
+          .join(evalPath(triples, b).as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          .distinct()
+      case Alt(a, b) =>
+        evalPath(triples, a).unionByName(evalPath(triples, b)).distinct()
+      case Plus(p, maxDepth, maxDegree) =>
+        closureOfEdges(evalPath(triples, p), maxDepth, maxDegree)
+          .select(col("src"), col("dst"))
+    }
   }
 }

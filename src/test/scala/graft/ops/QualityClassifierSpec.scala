@@ -83,4 +83,46 @@ class QualityClassifierSpec extends AnyFunSuite {
     val got = run(Seq(1L -> ""), pos, neg)
     assert(got == Seq((1L, 0L, 0L, false)))
   }
+
+  /** Sequential reference of the integer Pareto noisy-threshold rule. */
+  private def refPareto(scores: Seq[(Long, Long)], alpha: Int): Seq[(Long, Long, Long, Boolean)] = {
+    val mn = scores.map(_._2).min
+    val span = math.max(scores.map(_._2).max - mn, 1L)
+    val lg = CurationOps.lgL _
+    scores.map { case (id, s) =>
+      val sNorm = (s - mn) * 1048576L / span
+      val u = Math.floorMod(id * 48271L + 13L, 1048576L) + 1L
+      val keep = lg(u) - 20480L <= -alpha.toLong * (lg(1048576L + (1048576L - sNorm)) - 20480L)
+      (id, s, u, keep)
+    }
+  }
+
+  test("paretoSelect matches the sequential integer rule and keeps a heavy tail") {
+    import spark.implicits._
+    // 1000 docs with scores 0..999: top scores always kept, bottom kept
+    // with probability ~2^-alpha — visible at alpha=2
+    val scores = (0L until 1000L).map(i => (i, i))
+    val got = CurationOps.paretoSelect(scores.toDF("doc_id", "score"), alpha = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == refPareto(scores, 2))
+    val topKept = got.filter(_._2 >= 900).count(_._4)
+    val botKept = got.filter(_._2 < 100).count(_._4)
+    assert(got.find(_._2 == 999).exists(_._4)) // deficit exactly 0: kept
+    assert(topKept >= 90)                   // near-zero deficit: almost all
+    assert(botKept > 5 && botKept < 60)     // ~2^-2 tail, not 0, not all
+  }
+
+  test("paretoSelect keeps every perfect-score doc and is degenerate-span safe") {
+    import spark.implicits._
+    // all-equal scores: span clamps to 1, s_norm = 0 ... wait, equal
+    // scores normalize to deficit 2^20? (score-mn)=0 -> s_norm=0 ->
+    // worst deficit for ALL; the rule still evaluates exactly
+    val got = CurationOps.paretoSelect(
+      Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("doc_id", "score"), alpha = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    val want = refPareto(Seq((1L, 7L), (2L, 7L), (3L, 7L)), 1)
+      .map(r => r._1 -> r._4).toMap
+    assert(got == want)
+  }
 }
