@@ -1290,6 +1290,14 @@ object SparkEntry {
           .select(col("doc_id"), col("score")), alpha = 2)
         .orderBy(col("doc_id"))
     }),
+    // leakage-safe train/val/test split: near-dup components (persisted
+    // pair table) share one split drawn on the component representative
+    // — the oracle re-derives components by recursive closure and
+    // replays the MINSTD draw
+    "q_split_leakproof" -> ((s, dir) =>
+      CurationOps.leakproofSplit(t(s, dir, "documents"),
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/neardup_pairs"))
+        .orderBy(col("doc_id"))),
     // CCNet-style perplexity bucketing: add-one bigram LM trained on the
     // planted eval_docs sample, integer 1/1024-bit document cross-entropy,
     // head/middle/tail split at the exact 33rd/67th percentiles — the
@@ -2820,6 +2828,25 @@ object SparkEntry {
     // Pareto selection: classifier scores (shared CTEs) through the
     // integer noisy-threshold rule — normalization, draw, verdict
     "q_pareto_select" -> paretoSelectOracleSql(alpha = 2),
+    // leakproof split: recursive-closure components + coalesce-to-self
+    // representative + the integer splitter, all replayed
+    "q_split_leakproof" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT a AS x, b AS y FROM read_parquet('{AUX}/neardup_pairs/*.parquet')
+        |  UNION SELECT b, a FROM read_parquet('{AUX}/neardup_pairs/*.parquet')),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |comp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+        |rep AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+        |  FROM (SELECT doc_id FROM documents) d LEFT JOIN comp c ON c.id = d.doc_id),
+        |dr AS (SELECT doc_id, rep, (rep * 48271 + 17) % 1000 AS u FROM rep)
+        |SELECT doc_id, rep, u,
+        |  CASE WHEN u < 100 THEN 'test'
+        |       WHEN u < 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM dr ORDER BY doc_id""".stripMargin,
     // CCNet perplexity buckets: the bigram model (pair counts, prefix
     // counts, vocabulary), every per-doc integer nll/ppl, and the two
     // tercile thresholds re-derived over raw token STRINGS — the pinned

@@ -835,6 +835,40 @@ object CurationOps {
       .select(col("doc_id"), col("score"), col("u"), col("keep"))
   }
 
+  /** Leakage-safe train/val/test split: every document in one near-dup
+    * component lands in the SAME split, so a training document's
+    * near-duplicate can never leak into the held-out sets — the
+    * eval-contamination failure mode document-independent hashing cannot
+    * prevent (and the reason serious LLM pipelines split AFTER dedup
+    * clustering, not before). The split is drawn on the component
+    * REPRESENTATIVE (min-id label from [[DedupOps.dedupComponents]];
+    * singleton docs represent themselves) with the repo's MINSTD
+    * replayable splitter, so the assignment is deterministic, integer,
+    * and oracle-replayable — and adding a new near-dup of an existing
+    * doc can never move that doc's cluster.
+    *
+    * Plan: components over the PERSISTED pair table (pairs are the
+    * build-once dedup artifact, O(log diameter) label rounds over
+    * id-pair rows), one left join to attach labels (doc-id-keyed both
+    * sides), then a narrow per-row draw — documents' text is never
+    * read, let alone shuffled. */
+  def leakproofSplit(documents: DataFrame, pairs: DataFrame,
+      valPerMille: Long = 100L, testPerMille: Long = 100L): DataFrame = {
+    require(valPerMille >= 0 && testPerMille >= 0 &&
+      valPerMille + testPerMille <= 1000,
+      s"per-mille rates must be >= 0 and sum <= 1000, got $valPerMille/$testPerMille")
+    val comp = DedupOps.dedupComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+    documents.select(col("doc_id").cast("long").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+      .withColumn("u", pmod(col("rep") * lit(48271L) + lit(17L), lit(1000L)))
+      .withColumn("split",
+        when(col("u") < lit(testPerMille), lit("test"))
+          .when(col("u") < lit(testPerMille + valPerMille), lit("val"))
+          .otherwise(lit("train")))
+  }
+
   /** Word bigrams of an ALREADY-MATERIALIZED token-array column, as an
     * array of (w1, w2) structs (empty under 2 tokens). Same O(T²) rule
     * as [[tokenNgramsOf]]: `w` must be a plain attribute. */
