@@ -1410,6 +1410,28 @@ object SparkEntry {
         maxDepth = 4, maxDegree = 1024)
         .withColumn("depth", col("depth").cast("long"))
         .orderBy(col("src"), col("dst"))),
+    // seeded BFS distances: min hop count from the 3 seeds with the most
+    // DISTINCT out-edges on the q_kg_closure alternation edge set
+    // (deterministic tie-break; seeds must actually expand, unlike the
+    // raw-triple-count rule whose winners have no knows/parent edges) —
+    // state is one row per REACHED node, not per pair; oracle = bounded
+    // recursive CTE + MIN with the identical first-hop-only hub exemption
+    "q_kg_distances" -> ((s, dir) => {
+      val tr = s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples")
+      val preds = Seq("http://xmlns.com/foaf/0.1/knows",
+        "http://schema.org/parentOrganization")
+      val seeds = tr
+        .filter(col("pred").isin(preds: _*) && col("objKind") === 0 &&
+          col("subj") =!= col("objValue"))
+        .select(col("subj"), col("objValue")).distinct()
+        .groupBy(col("subj")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("subj")).limit(3)
+        .collect().map(_.getString(0)).toSeq // bounded collect: 3 rows
+      GraphQuery.seededDistances(tr, seeds, preds,
+        maxDepth = 4, maxDegree = 1024)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy(col("node"))
+    }),
     // SPARQL 1.1 property-path algebra: (knows|sameAs)+ within 3 hops,
     // then ^location — "pair each person with every entity located at a
     // place their extended network reaches". Exercises all four
@@ -3015,6 +3037,28 @@ object SparkEntry {
         |  FROM r JOIN ext e ON r.dst = e.src WHERE r.depth < 4)
         |SELECT src, dst, CAST(MIN(depth) AS BIGINT) AS depth
         |FROM r GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+    // seeded BFS distances: seeds re-derived by the same top-3 rule,
+    // single recursive term with the dist=0 hub exemption inlined
+    "q_kg_distances" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT subj AS src, objValue AS dst
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE pred IN ('http://xmlns.com/foaf/0.1/knows',
+        |                 'http://schema.org/parentOrganization')
+        |    AND objKind = 0 AND subj <> objValue),
+        |ok AS (SELECT src FROM edges GROUP BY src HAVING count(*) <= 1024),
+        |seeds AS (
+        |  SELECT src AS node FROM edges
+        |  GROUP BY src ORDER BY count(*) DESC, src LIMIT 3),
+        |r AS (
+        |  SELECT node, 0 AS dist FROM seeds
+        |  UNION
+        |  SELECT e.dst, r.dist + 1
+        |  FROM r JOIN edges e ON r.node = e.src
+        |  WHERE r.dist < 4
+        |    AND (r.dist = 0 OR e.src IN (SELECT src FROM ok)))
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM r GROUP BY 1 ORDER BY node""".stripMargin,
     // property-path algebra: the identical expression in SQL — base =
     // knows|sameAs atoms unioned, bounded recursive closure with the
     // same hub guard, composed with the inverted children atom

@@ -291,6 +291,67 @@ object GraphQuery {
     levels.reduce(_ unionByName _)
   }
 
+  /** Seeded BFS distances: the minimum hop count from a seed SET to
+    * every reachable node along the given predicates, bounded by
+    * `maxDepth`. The scale-honest complement of [[pathClosure]]: closure
+    * materializes ALL reachable (src, dst) pairs — O(V·reach) state,
+    * the right shape when every source matters — while a seeded BFS
+    * keeps one row per REACHED NODE (dist column, seeds at 0), so
+    * exploring the k-hop neighborhood of a handful of entities (the
+    * entity-linking context-gathering step, or "what does this hub
+    * touch within 3 hops") costs O(reachable) rows however large the
+    * graph is. Seed sets are human-scale by contract (an `isin`
+    * literal, like [[GraphMaterialize.personalizedPageRank]]'s
+    * teleport set).
+    *
+    * Semantics match [[closureOfEdges]] exactly: self-edges trimmed,
+    * min-dist per node (per-level anti-join on the seen set), and the
+    * same hub guard — the FIRST hop out of a seed may leave any node,
+    * but paths only extend THROUGH sources with out-degree ≤
+    * `maxDegree`. Per level: one key-partitioned join frontier⋈edges
+    * (frontier rows are 8-byte-id + int), one distinct, one anti-join;
+    * each level frame is a checkpointed leaf (the multi-branch rule —
+    * the seen union references every prior level). Eager by contract. */
+  def seededDistances(triples: DataFrame, seeds: Seq[String],
+      preds: Seq[String], maxDepth: Int, maxDegree: Int = 1024): DataFrame = {
+    require(seeds.nonEmpty, "no seeds")
+    require(preds.nonEmpty, "no predicates")
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val edges = triples
+      .filter(col("pred").isin(preds: _*) && col("objKind") === 0 &&
+        col("subj") =!= col("objValue"))
+      .select(col("subj").as("src"), col("objValue").as("dst"))
+      .distinct().localCheckpoint(true)
+    val okSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree).select(col("src"))
+    val extendable = edges.join(okSrc, Seq("src")).localCheckpoint(true)
+
+    var levels = List(seeds.distinct.toDF("node")
+      .withColumn("dist", lit(0)).localCheckpoint(true))
+    var frontier = levels.head
+    var d = 0
+    var frontierNonEmpty = !frontier.isEmpty
+    while (d < maxDepth && frontierNonEmpty) {
+      d += 1
+      // first hop out of a seed may leave a hub; later hops may not
+      val step = if (d == 1) edges else extendable
+      val stepped = frontier.as("f")
+        .join(step.as("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node")).distinct()
+      val seen = levels.map(_.select("node")).reduce(_ unionByName _)
+      val fresh = stepped
+        .join(seen, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      levels ::= fresh
+      frontier = fresh
+      frontierNonEmpty = !fresh.isEmpty
+    }
+    levels.reduce(_ unionByName _)
+  }
+
   /** SPARQL 1.1 property-path algebra (the composable subset with
     * graph-bounded semantics): a predicate atom, inverse `^p`, sequence
     * `p/q`, alternation `p|q`, and bounded `p+`. Zero-length forms

@@ -222,4 +222,65 @@ class GraphQuerySpec extends AnyFunSuite {
       assert(got == expected.toMap, s"trial $trial mismatch")
     }
   }
+
+  private def distancesOf(df: DataFrame, seeds: Seq[String], depth: Int,
+      maxDegree: Int = 1024): Map[String, Int] =
+    seededDistances(df, seeds, Seq("k"), depth, maxDegree)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Int]("dist")).toMap
+
+  test("seededDistances: min hops from the seed set, seeds at 0, bound honored") {
+    // a->b->c->d->e with shortcut a->c; second seed z->e
+    val df = triplesOf(Seq(
+      ("a", "k", "b"), ("b", "k", "c"), ("c", "k", "d"), ("d", "k", "e"),
+      ("a", "k", "c"), ("z", "k", "e"), ("q", "other", "a")))
+    val out = distancesOf(df, Seq("a", "z"), depth = 2)
+    assert(out == Map("a" -> 0, "z" -> 0, "b" -> 1, "c" -> 1, "e" -> 1, "d" -> 2))
+    // depth bound: d reached at 2, e already at 1 via z — nothing at 3
+    val deep = distancesOf(df, Seq("a"), depth = 4)
+    assert(deep == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3))
+  }
+
+  test("seededDistances: a seed reached again later keeps dist 0; cycles terminate") {
+    val df = triplesOf(Seq(("a", "k", "b"), ("b", "k", "c"), ("c", "k", "a")))
+    val out = distancesOf(df, Seq("a"), depth = 5)
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("seededDistances: hubs expand from a seed but never mid-path") {
+    val fanout = (1 to 10).map(i => ("hub", "k", s"t$i"))
+    val df = triplesOf(Seq(("x", "k", "hub")) ++ fanout)
+    // hub reached at dist 1 is not extended through (degree 10 > 4)
+    val viaX = distancesOf(df, Seq("x"), depth = 3, maxDegree = 4)
+    assert(viaX == Map("x" -> 0, "hub" -> 1))
+    // but the hub AS A SEED takes its first hop like closureOfEdges' level 1
+    val viaHub = distancesOf(df, Seq("hub"), depth = 3, maxDegree = 4)
+    assert(viaHub == (1 to 10).map(i => s"t$i" -> 1).toMap + ("hub" -> 0))
+  }
+
+  test("seededDistances agrees with brute-force BFS on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val n = 10
+      val edges = (1 to 25).map { _ =>
+        (s"v${rnd.nextInt(n)}", "k", s"v${rnd.nextInt(n)}")
+      }.distinct.filter { case (s, _, o) => s != o }
+      val seeds = Seq(s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}").distinct
+      val depth = 3
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3) }
+      val expected = scala.collection.mutable.Map[String, Int]()
+      seeds.foreach(expected.getOrElseUpdate(_, 0))
+      var frontier = seeds.toSet
+      var d = 0
+      while (d < depth && frontier.nonEmpty) {
+        d += 1
+        val dd = d
+        val fresh = frontier.flatMap(v => adj.getOrElse(v, Nil)) --
+          expected.keySet
+        fresh.foreach(expected.getOrElseUpdate(_, dd))
+        frontier = fresh
+      }
+      val got = distancesOf(triplesOf(edges), seeds, depth)
+      assert(got == expected.toMap, s"trial $trial mismatch (seeds=$seeds)")
+    }
+  }
 }
