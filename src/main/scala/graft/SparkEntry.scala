@@ -1319,6 +1319,14 @@ object SparkEntry {
     "q_simjoin_exact" -> ((s, dir) =>
       DedupOps.prefixSimJoin(t(s, dir, "documents"), tn = 1, td = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // asymmetric containment (quote/aggregator detection): pairs where
+    // the smaller shingle set is >= 4/5 inside the larger — candidates
+    // from a df-capped rare-shingle inverted index, exact verify; the
+    // oracle replays the identical candidate rule + intersect in SQL
+    "q_containment" -> ((s, dir) =>
+      DedupOps.containmentJoin(t(s, dir, "documents"), tn = 4, td = 5,
+        maxDf = 64L)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // BPE merge training (Sennrich-style) over the corpus word-frequency
     // table: 12 merges, each = positional pair count weighted by word
     // freq, (cnt desc, w1, w2) argmax, leftmost non-overlapping apply —
@@ -1754,6 +1762,27 @@ object SparkEntry {
           |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
           |SELECT doc_a, doc_b, inter_n, union_n
           |FROM pq WHERE inter_n * 2 >= union_n
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    // containment: rare-shingle (df in [2, 64]) candidate nomination +
+    // exact intersect over full sets, min-denominator threshold 4/5
+    "q_containment" ->
+      (shingleSetsCte +
+        """posts AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+          |rare AS (SELECT sh FROM posts GROUP BY sh
+          |         HAVING count(*) BETWEEN 2 AND 64),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM posts a JOIN rare USING (sh)
+          |  JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          |v AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter_n,
+          |    CAST(len(x.sh) AS BIGINT) AS m_a,
+          |    CAST(len(y.sh) AS BIGINT) AS m_b
+          |  FROM cand c JOIN s x ON x.doc_id = c.doc_a
+          |  JOIN s y ON y.doc_id = c.doc_b)
+          |SELECT doc_a, doc_b, inter_n, m_a, m_b
+          |FROM v WHERE inter_n * 5 >= least(m_a, m_b) * 4
           |ORDER BY doc_a, doc_b""".stripMargin),
     "q_jaccard_verify" ->
       (shingleJaccardCte +

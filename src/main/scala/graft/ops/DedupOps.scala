@@ -359,6 +359,61 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"))
   }
 
+  /** Asymmetric containment self-join: pairs where the SMALLER shingle
+    * set is mostly inside the larger — `|A∩B| / min(|A|,|B|) ≥ tn/td` —
+    * the failure mode every symmetric near-dup path (minhash LSH, prefix
+    * Jaccard join) structurally misses: a paragraph quoted inside a long
+    * aggregator page has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so
+    * no Jaccard threshold ever surfaces it and no minhash band ever
+    * collides. Emits (doc_a, doc_b, inter_n, m_a, m_b), integers only.
+    *
+    * Candidates come from an inverted index over RARE shingles: postings
+    * for shingle hashes with document frequency in [2, maxDf] self-join
+    * by hash (16-byte (sh, id) rows, nothing else shuffles), so one
+    * shared rare shingle nominates a pair and candidate volume is
+    * bounded by #rare-shingles · maxDf²/2 — a boilerplate sentence on a
+    * million pages (df ≫ maxDf) nominates NOTHING, which is the guard
+    * that keeps this quadratic-free at corpus scale. The df cap costs
+    * recall only for pairs whose every shared shingle is corpus-common
+    * (boilerplate-only overlap — exactly the pairs a curation pipeline
+    * wants ignored); verification is exact on the FULL shingle arrays,
+    * so precision is unconditional. With maxDf ≥ corpus size the
+    * candidate set degenerates to every pair sharing any shingle and
+    * the operator is brute-force-exact (ContainmentSpec proves it).
+    *
+    * Plan: the build-once shingle arrays are checkpointed (they feed
+    * the postings build and both verify sides — the multi-branch rule),
+    * as are the rare postings (df agg runs once, not per self-join
+    * side) and the candidate id-pairs (both verify rejoins consume
+    * them). Default tn/td = 4/5: containment ≥ 0.8. */
+  def containmentJoin(documents: DataFrame, tn: Int = 4, td: Int = 5,
+      shingleWidth: Int = 3, maxDf: Long = 64L): DataFrame = {
+    require(tn >= 1 && td >= tn, s"threshold tn/td in (0,1]: $tn/$td")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val sets = shingleSets(documents, shingleWidth).localCheckpoint(true)
+    val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // df == 1 shingles can nominate no pair; dropping them here only
+    // shrinks the postings shuffle, never the candidate set
+    val rare = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select(col("sh"))
+    val rarePosts = posts.join(rare, Seq("sh")).localCheckpoint(true)
+    val cand = rarePosts.as("a").join(rarePosts.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true) // feeds both sides of the verify join
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sha")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("shb")),
+        Seq("doc_b"))
+      .withColumn("inter_n", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("m_a", size(col("sha")).cast("long"))
+      .withColumn("m_b", size(col("shb")).cast("long"))
+      .filter(col("inter_n") * td >= least(col("m_a"), col("m_b")) * tn)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("m_a"), col("m_b"))
+  }
+
   /** End-to-end verified near-dups: LSH candidates -> exact Jaccard >=
     * threshold. With k=64/bands=16 (4 rows per band), recall at J=0.9 is
     * 1-(1-0.9^4)^16 ≈ 1-3e-8 — effectively exact on well-separated
