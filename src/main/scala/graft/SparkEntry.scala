@@ -687,6 +687,18 @@ object SparkEntry {
     // old half (VERDICT r4 #2). The oracle is the SAME exact all-pairs
     // Jaccard SQL as q_minhash_neardups over the FULL corpus — so the
     // incremental union must still equal a from-scratch rebuild.
+    // incremental component maintenance: fold the odd-batch pair edges
+    // (full pair table minus the persisted even half) into the PERSISTED
+    // even-half labels — iterative work is quotient-sized; the oracle is
+    // a from-scratch recursive closure over the union edge set
+    "q_dedup_components_inc" -> ((s, dir) => {
+      val aux = AuxTables.ensure(s, dir)
+      val oldLabels = s.read.parquet(s"$aux/components_even")
+      val delta = s.read.parquet(s"$aux/neardup_pairs").select(col("a"), col("b"))
+        .join(s.read.parquet(s"$aux/neardup_pairs_even").select(col("a"), col("b")),
+          Seq("a", "b"), "left_anti")
+      DedupOps.incrementalComponents(oldLabels, delta).orderBy(col("id"))
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       val aux = AuxTables.ensure(s, dir)
       val oldSk = s.read.parquet(s"$aux/minhash_sketches_even")
@@ -1787,6 +1799,18 @@ object SparkEntry {
     "q_jaccard_verify" ->
       (shingleJaccardCte +
         """SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin),
+    // incremental components: rebuild equality — the closure runs over
+    // the UNION of the persisted even-half pairs and the full pair
+    // table (the accumulated edge set an append pipeline owns)
+    "q_dedup_components_inc" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT a, b FROM read_parquet('{AUX}/neardup_pairs/*.parquet')
+        |  UNION SELECT a, b FROM read_parquet('{AUX}/neardup_pairs_even/*.parquet')),
+        |edges AS (SELECT a AS x, b AS y FROM pe UNION SELECT b, a FROM pe),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x ORDER BY id""".stripMargin,
     "q_dedup_components" ->
       """WITH RECURSIVE edges AS (
         |  SELECT a AS x, b AS y FROM read_parquet('{AUX}/neardup_pairs/*.parquet')

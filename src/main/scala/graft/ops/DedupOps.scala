@@ -700,6 +700,52 @@ object DedupOps {
     labels
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * pair edges into a PERSISTED (id, comp) label table without
+    * recomputing the corpus — the component-side twin of
+    * [[incrementalMinhashNearDups]] (an hourly append job discovers new
+    * near-dup pairs; this keeps the cluster labels current so survivor
+    * selection and [[graft.ops.CurationOps.leakproofSplit]] stay valid).
+    *
+    * The old labels ARE a lossless quotient of old connectivity (every
+    * component collapsed to its min-id representative), so the merged
+    * components are exactly the components of the QUOTIENT graph: new
+    * edges with both endpoints mapped to their current label (unlabeled
+    * endpoints map to themselves). That graph is delta-sized — its node
+    * set is touched labels + new ids, never the corpus — and since every
+    * quotient node is itself a min-id (or a fresh id), the quotient's
+    * min-label components are the TRUE min-id labels of the merged
+    * components. The corpus-sized work is two narrow keyed joins: one to
+    * resolve endpoint labels, one to re-label members of merged
+    * components (the remap is delta-sized — broadcast at scale). The
+    * iterative rounds run on the quotient only. Output: the full updated
+    * (id, comp) table, bit-equal to a from-scratch
+    * [[dedupComponents]] over (old pairs ∪ new edges) —
+    * IncrementalComponentsSpec proves rebuild equality on random
+    * graphs, and the driver oracle re-derives it by recursive closure. */
+  def incrementalComponents(existingLabels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // labels feed three branches (two endpoint resolves + the relabel
+    // join) — the multi-branch rule; rows are 16-byte (id, comp)
+    val labels = existingLabels.select(col("id"), col("comp")).localCheckpoint(true)
+    val quotientEdges = newEdges.select(col("a"), col("b"))
+      .join(labels.select(col("id").as("a"), col("comp").as("ca")), Seq("a"), "left")
+      .join(labels.select(col("id").as("b"), col("comp").as("cb")), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+    // delta-sized iterative work: (touched labels + new ids) only
+    val remap = dedupComponents(quotientEdges, maxIter)
+    val relabeled = labels
+      .join(remap.select(col("id").as("comp"), col("comp").as("merged")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("merged"), col("comp")).as("comp"))
+    // quotient nodes that are NOT previously-labeled ids are the batch's
+    // brand-new members; previously-labeled ids (old reps included) were
+    // all re-labeled above
+    val fresh = remap.join(labels.select(col("id")), Seq("id"), "left_anti")
+    relabeled.unionByName(fresh)
+  }
+
   /** Survivor selection — the step that turns near-dup CLUSTERS into a
     * keep/drop verdict per document (identify → cluster → keep): within
     * each component the document with the most content wins (max
