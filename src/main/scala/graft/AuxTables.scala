@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5n"
+  private val Version = "r5o"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -197,6 +197,44 @@ object AuxTables {
             when(col("doc_id") % 2 === 0, array(lit(BoilerFooter))).otherwise(emptyArr)),
             "\n").as("text"))
         .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_lines")
+    }
+
+    // 3c-ter. C4-rule corpus (docs_c4): deterministic line-structured
+    //     docs exercising EVERY branch of the C4 filter — per-line
+    //     terminal punctuation present (./?/!) on 2 of 3 lines, word
+    //     counts swept 2..7 (straddling the 5-word floor), periodic
+    //     "javascript" injections, and page-level lorem-ipsum / brace
+    //     plants. Everything derives from (doc_id, line index) — no RNG.
+    locally {
+      import spark.implicits._
+      docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val words = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+          val sb = new StringBuilder
+          var i = 0
+          var line = 0
+          while (i < words.length) {
+            val n = 2 + ((id + line) % 6).toInt // 2..7 words per line
+            val chunk = words.slice(i, i + n).mkString(" ")
+            i += n
+            val l0 = if ((id + line) % 7 == 0) chunk + " javascript" else chunk
+            val l = (line % 3) match {
+              case 0 => l0 + "."
+              case 1 => l0 + (if (line % 2 == 1) "?" else "!")
+              case _ => l0 // no terminal punctuation -> dropped
+            }
+            sb.append(l).append('\n')
+            line += 1
+          }
+          val base = sb.toString.stripSuffix("\n")
+          val page =
+            if (id % 97 == 0) base + "\nlorem ipsum dolor sit amet."
+            else if (id % 89 == 0) base + "\nfunction f() { return 1; }."
+            else base
+          (id, page)
+        }.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/docs_c4")
     }
 
     // 3c-bis. host-attributed multi-line corpus for PER-HOST boilerplate

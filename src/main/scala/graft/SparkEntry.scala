@@ -1190,6 +1190,13 @@ object SparkEntry {
       CurationOps.lineDedup(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_lines"))
         .orderBy(col("doc_id"))),
+    // C4-style line filtering (terminal punctuation + min words +
+    // javascript lines; lorem-ipsum/brace/min-line page verdict) — a
+    // pure narrow projection; the oracle replays every rule in SQL
+    "q_c4_linefilter" -> ((s, dir) =>
+      CurationOps.c4LineFilter(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_c4"))
+        .orderBy(col("doc_id"))),
     // 13-gram eval-set decontamination: per-doc distinct-13-gram overlap
     // against the planted eval table (broadcast keys); the oracle
     // recomputes both n-gram sets as strings and intersects exactly
@@ -2644,6 +2651,25 @@ object SparkEntry {
     // line-level dedup: retention re-derived with a row_number window
     // over the exploded lines (globally-first (doc_id, pos) wins),
     // reassembly via ordered string_agg — all from the same parquet
+    // C4 rules replayed line-by-line: terminal punctuation after rtrim,
+    // >= 5 whitespace words, no "javascript"; page verdict = >= 3 kept
+    // lines and no lorem-ipsum/brace in the ORIGINAL text
+    "q_c4_linefilter" ->
+      """WITH l AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  FROM read_parquet('{AUX}/docs_c4/*.parquet')),
+        |k AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, x ->
+        |      regexp_matches(rtrim(x), '[.!?"]$')
+        |      AND len(list_filter(regexp_split_to_array(x, '\s+'), w -> w <> '')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l)
+        |SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+        |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS keep,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS text_clean
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_dedup_lines" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, chr(10)) AS ln

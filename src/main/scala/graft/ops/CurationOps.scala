@@ -123,6 +123,41 @@ object CurationOps {
             "\n")).as("text_clean"))
   }
 
+  /** C4-style line filtering (Raffel et al. 2020 §2.2, the published
+    * rule set behind the C4 corpus): a line survives iff it ends in a
+    * terminal punctuation mark (`.` `!` `?` `"` after right-trim), has
+    * at least `minWordsPerLine` whitespace words, and does not mention
+    * "javascript" (case-insensitive); the DOCUMENT verdict additionally
+    * requires at least `minKeptLines` surviving lines and no
+    * "lorem ipsum" / `{` anywhere in the original text (the code/
+    * placeholder page heuristics). Emits per-doc (n_lines, n_kept,
+    * keep, text_clean) — reassembly preserves surviving-line order.
+    *
+    * Unlike [[lineDedup]]/[[hostBoilerplate]] (which need global or
+    * per-host line ownership), every rule here is doc-local, so the
+    * WHOLE operator is one narrow codegen projection over the text
+    * scan — zero exchanges at any scale, the cheapest possible
+    * curation stage and the reason C4-style filtering is always run
+    * first in production funnels. */
+  def c4LineFilter(documents: DataFrame, minWordsPerLine: Int = 5,
+      minKeptLines: Int = 3): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    require(minKeptLines >= 0, s"minKeptLines must be >= 0, got $minKeptLines")
+    documents
+      .select(col("doc_id"), col("text"), split(col("text"), "\n").as("lines"))
+      .withColumn("kept", filter(col("lines"), l =>
+        rtrim(l).rlike("[.!?\"]$") &&
+          size(filter(split(l, "\\s+"), t => t =!= "")) >= minWordsPerLine &&
+          !lower(l).contains("javascript")))
+      .select(col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        (size(col("kept")) >= minKeptLines &&
+          !lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{")).as("keep"),
+        array_join(col("kept"), "\n").as("text_clean"))
+  }
+
   /** Whitespace tokens of a text column, empties removed. */
   private[ops] def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
