@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5o"
+  private val Version = "r5q"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -219,15 +219,29 @@ object AuxTables {
             val chunk = words.slice(i, i + n).mkString(" ")
             i += n
             val l0 = if ((id + line) % 7 == 0) chunk + " javascript" else chunk
+            // '#' symbol plants feed the Gopher symbol-ratio rule
+            val l1 = if ((id + line) % 13 == 0) l0 + " ###" else l0
             val l = (line % 3) match {
-              case 0 => l0 + "."
-              case 1 => l0 + (if (line % 2 == 1) "?" else "!")
-              case _ => l0 // no terminal punctuation -> dropped
+              case 0 => l1 + "."
+              case 1 => l1 + (if (line % 2 == 1) "?" else "!")
+              // some unpunctuated lines end in an ellipsis instead (C4
+              // keeps those — '…'-free '...' ends in '.'; Gopher's
+              // ellipsis-line rule is what prices them)
+              case _ => if ((id + line) % 5 == 0) l1 + "..." else l1
             }
-            sb.append(l).append('\n')
+            // bullet-start plants feed the Gopher bullet-line rule
+            val lb = if ((id + line) % 11 == 0) "- " + l else l
+            sb.append(lb).append('\n')
             line += 1
           }
-          val base = sb.toString.stripSuffix("\n")
+          val base0 = sb.toString.stripSuffix("\n")
+          // stop-word plant: the synthetic vocabulary carries only "the"
+          // from Gopher's 8-word list, so without this 3-hit sentence
+          // (that/have/to) the stop rule is a constant; 1/4 of docs stay
+          // unplanted and fail it
+          val base =
+            if (id % 4 != 0) base0 + "\nthat is all we have to say about it."
+            else base0
           val page =
             if (id % 97 == 0) base + "\nlorem ipsum dolor sit amet."
             else if (id % 89 == 0) base + "\nfunction f() { return 1; }."

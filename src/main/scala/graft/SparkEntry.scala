@@ -1197,6 +1197,15 @@ object SparkEntry {
       CurationOps.c4LineFilter(
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_c4"))
         .orderBy(col("doc_id"))),
+    // Gopher quality rules (MassiveText A1.1) over the same planted
+    // corpus — all-integer metrics + cross-multiplied thresholds, so
+    // the oracle replays the verdict bit-for-bit (word floor lowered
+    // to 20 for the short synthetic docs; every other bound published)
+    "q_gopher_quality" -> ((s, dir) =>
+      CurationOps.gopherQualityFilter(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_c4"),
+        minWords = 20)
+        .orderBy(col("doc_id"))),
     // 13-gram eval-set decontamination: per-doc distinct-13-gram overlap
     // against the planted eval table (broadcast keys); the oracle
     // recomputes both n-gram sets as strings and intersects exactly
@@ -2670,6 +2679,43 @@ object SparkEntry {
         |    AND NOT contains(text, '{')) AS keep,
         |  COALESCE(array_to_string(kept, chr(10)), '') AS text_clean
         |FROM k ORDER BY doc_id""".stripMargin,
+    // Gopher rules: every integer metric recomputed from raw strings,
+    // the verdict as the same cross-multiplied comparisons
+    "q_gopher_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM read_parquet('{AUX}/docs_c4/*.parquet')),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars_words,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%')) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+        |  FROM d)
+        |SELECT doc_id, n_words, n_chars_words, n_hash, n_ellipsis, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
+        |  (n_words >= 20 AND n_words <= 100000
+        |   AND 3 * n_words <= n_chars_words AND n_chars_words <= 10 * n_words
+        |   AND 10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words
+        |   AND 10 * n_bullet_lines <= 9 * n_lines
+        |   AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |   AND 5 * n_alpha_words >= 4 * n_words
+        |   AND n_stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_dedup_lines" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, chr(10)) AS ln

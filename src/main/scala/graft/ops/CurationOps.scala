@@ -158,6 +158,67 @@ object CurationOps {
         array_join(col("kept"), "\n").as("text_clean"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A1.1 — the
+    * published MassiveText filter): a document survives iff
+    *   - whitespace word count in [minWords, maxWords];
+    *   - mean word length in [3, 10] characters;
+    *   - symbol-to-word ratio ≤ 0.1 for both `#` and `...`;
+    *   - at most 90% of lines start with a bullet (`- `, `* `, `•`);
+    *   - at most 30% of lines end with an ellipsis (`...` or `…`);
+    *   - at least 80% of words contain an alphabetic character;
+    *   - at least 2 of the 8 canonical stop words (the/be/to/of/and/
+    *     that/have/with) appear.
+    * Every metric is an INTEGER and every threshold an integer
+    * cross-multiplication (3·n ≤ chars ≤ 10·n etc.), so the driver's
+    * DuckDB oracle replays the verdict bit-for-bit — no float
+    * tolerance anywhere. Like [[c4LineFilter]], the whole operator is
+    * one narrow codegen projection over the text scan: zero exchanges,
+    * the shape a first-pass 100 TB filter must have. Emits the raw
+    * metric columns alongside `keep` so downstream funnels can
+    * re-threshold without re-scanning. */
+  def gopherQualityFilter(documents: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"bad word bounds: [$minWords, $maxWords]")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val prepared = documents.select(col("doc_id"), col("text"),
+      wsTokens(col("text")).as("w"),
+      split(col("text"), "\n").as("lines"))
+    val w = col("w")
+    val lines = col("lines")
+    val nWords = size(w).cast("long")
+    // sum of word lengths == chars left after removing ALL whitespace
+    val nChars = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nEllipsis = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("long")
+    val nEllLines = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val nStop = stops.map(s0 =>
+      when(array_contains(w, s0), 1L).otherwise(0L)).reduce(_ + _)
+    prepared.select(col("doc_id"),
+      nWords.as("n_words"), nChars.as("n_chars_words"),
+      nHash.as("n_hash"), nEllipsis.as("n_ellipsis"),
+      nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+      nEllLines.as("n_ellipsis_lines"), nAlpha.as("n_alpha_words"),
+      nStop.as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          lit(3L) * col("n_words") <= col("n_chars_words") &&
+          col("n_chars_words") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_hash") <= col("n_words") &&
+          lit(10L) * col("n_ellipsis") <= col("n_words") &&
+          lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
+          lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
+          lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words") &&
+          col("n_stop_hits") >= 2L)
+  }
+
   /** Whitespace tokens of a text column, empties removed. */
   private[ops] def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
