@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5q"
+  private val Version = "r5s"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -234,7 +234,29 @@ object AuxTables {
             sb.append(lb).append('\n')
             line += 1
           }
-          val base0 = sb.toString.stripSuffix("\n")
+          // repetition plants (Gopher A1.2): a duplicated line on 1/6 of
+          // docs, an in-line repeated 6-word phrase (dup 5/6-gram mass)
+          // on 1/8, and a duplicated paragraph on 1/10
+          if (id % 6 == 0 && line > 0) {
+            val first = sb.toString.linesIterator.next()
+            sb.append(first).append('\n').append(first).append('\n')
+          }
+          if (id % 8 == 0 && words.length >= 6) {
+            val phrase = words.take(6).mkString(" ")
+            sb.append(phrase).append(' ').append(phrase).append(".\n")
+          }
+          val base0 = {
+            val b = sb.toString.stripSuffix("\n")
+            if (id % 10 == 0) {
+              // three paragraphs, the first duplicated verbatim — makes
+              // the dup-paragraph branch live (an appended line SUBSET
+              // is only a line dup, never a paragraph dup)
+              val ls = b.linesIterator.toVector
+              val (p1, p2) = ls.splitAt(math.max(1, ls.length / 2))
+              (Seq(p1, p2, p1).filter(_.nonEmpty).map(_.mkString("\n")))
+                .mkString("\n\n")
+            } else b
+          }
           // stop-word plant: the synthetic vocabulary carries only "the"
           // from Gopher's 8-word list, so without this 3-hit sentence
           // (that/have/to) the stop rule is a constant; 1/4 of docs stay

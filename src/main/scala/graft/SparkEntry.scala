@@ -1206,6 +1206,13 @@ object SparkEntry {
         s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_c4"),
         minWords = 20)
         .orderBy(col("doc_id"))),
+    // Gopher repetition rules (MassiveText A1.2): dup line/paragraph
+    // fractions incl. character mass, top 2-4-gram char mass, dup
+    // 5-10-gram covered chars — all integer, verdict replayed in SQL
+    "q_gopher_repetition" -> ((s, dir) =>
+      CurationOps.gopherRepetitionFilter(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/docs_c4"))
+        .orderBy(col("doc_id"))),
     // 13-gram eval-set decontamination: per-doc distinct-13-gram overlap
     // against the planted eval table (broadcast keys); the oracle
     // recomputes both n-gram sets as strings and intersects exactly
@@ -2716,6 +2723,7 @@ object SparkEntry {
         |   AND 5 * n_alpha_words >= 4 * n_words
         |   AND n_stop_hits >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_gopher_repetition" -> gopherRepOracleSql,
     "q_dedup_lines" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, chr(10)) AS ln
@@ -3456,6 +3464,66 @@ object SparkEntry {
   /** Shared CTE: per-doc distinct word-3-gram shingle sets and all-pairs
     * exact Jaccard. Tokenization mirrors TextHash.tokenHashes (runs of
     * letters/digits, lowercased; the corpus is ASCII). */
+  /** The A1.2 oracle: every integer metric of
+    * [[graft.ops.CurationOps.gopherRepetitionFilter]] recomputed from raw
+    * strings with list lambdas (O(G²) duplicate probes — fine in a
+    * row-local oracle), the verdict as the same cross-multiplications. */
+  private def gopherRepOracleSql: String = {
+    def gram(n: Int) =
+      s"CASE WHEN len(w) >= $n THEN [array_to_string(w[i:i+${n - 1}], ' ') " +
+        s"FOR i IN range(1, len(w) - ${n - 2})] ELSE CAST([] AS VARCHAR[]) END AS g$n"
+    def dupCharsOf(arr: String) =
+      s"COALESCE(CAST(list_sum(list_transform(list_distinct($arr), " +
+        s"dl -> (len(list_filter($arr, x -> x = dl)) - 1) * length(dl))) AS BIGINT), 0)"
+    def charsOf(arr: String) =
+      s"COALESCE(CAST(list_sum(list_transform($arr, x -> length(x))) AS BIGINT), 0)"
+    def topOf(n: Int) =
+      s"COALESCE(CAST(list_max(list_transform(list_distinct(g$n), " +
+        s"d -> len(list_filter(g$n, x -> x = d)) * (length(d) - ${n - 1}))) AS BIGINT), 0) AS top${n}_chars"
+    def dupCovOf(n: Int) =
+      s"COALESCE(CAST(list_sum(list_transform(" +
+        s"list_distinct(flatten(list_transform(" +
+        s"list_filter(range(1, len(g$n) + 1), i -> len(list_filter(g$n, g -> g = g$n[i])) >= 2), " +
+        s"i -> range(i, i + $n)))), " +
+        s"p -> length(w[p]))) AS BIGINT), 0) AS dup${n}_chars"
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    string_split(text, chr(10)) AS lines,
+       |    string_split(text, chr(10) || chr(10)) AS paras,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:5000] AS w
+       |  FROM read_parquet('{AUX}/docs_c4/*.parquet')),
+       |g AS (
+       |  SELECT doc_id, lines, paras, w,
+       |    ${(2 to 10).map(gram).mkString(",\n    ")}
+       |  FROM d),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+       |    ${charsOf("lines")} AS line_chars,
+       |    ${dupCharsOf("lines")} AS dup_line_chars,
+       |    CAST(len(paras) AS BIGINT) AS n_paras,
+       |    CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS dup_paras,
+       |    ${charsOf("paras")} AS para_chars,
+       |    ${dupCharsOf("paras")} AS dup_para_chars,
+       |    ${charsOf("w")} AS n_chars,
+       |    ${Seq(2, 3, 4).map(topOf).mkString(",\n    ")},
+       |    ${(5 to 10).map(dupCovOf).mkString(",\n    ")}
+       |  FROM g)
+       |SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+       |  n_paras, dup_paras, para_chars, dup_para_chars, n_chars,
+       |  top2_chars, top3_chars, top4_chars,
+       |  dup5_chars, dup6_chars, dup7_chars, dup8_chars, dup9_chars, dup10_chars,
+       |  (10 * dup_lines <= 3 * n_lines AND 5 * dup_line_chars <= line_chars
+       |   AND 10 * dup_paras <= 3 * n_paras AND 5 * dup_para_chars <= para_chars
+       |   AND 5 * top2_chars <= n_chars AND 50 * top3_chars <= 9 * n_chars
+       |   AND 25 * top4_chars <= 4 * n_chars
+       |   AND 20 * dup5_chars <= 3 * n_chars AND 50 * dup6_chars <= 7 * n_chars
+       |   AND 100 * dup7_chars <= 13 * n_chars AND 25 * dup8_chars <= 3 * n_chars
+       |   AND 100 * dup9_chars <= 11 * n_chars AND 10 * dup10_chars <= n_chars) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   private def shingleSetsCte: String =
     """WITH t AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w

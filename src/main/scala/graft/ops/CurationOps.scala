@@ -219,6 +219,126 @@ object CurationOps {
           col("n_stop_hits") >= 2L)
   }
 
+  /** Gopher repetition rules (Rae et al. 2021, Appendix A1.2 — the
+    * MassiveText repetition filter, the companion of
+    * [[gopherQualityFilter]]): a document survives iff
+    *   - duplicate line fraction ≤ 0.30 and duplicate line CHARACTER
+    *     fraction ≤ 0.20 (dup chars = every occurrence beyond a line's
+    *     first, weighted by its length);
+    *   - the same two bounds for paragraphs (`\n\n`-separated), 0.30 /
+    *     0.20;
+    *   - top n-gram character mass ≤ 0.20 / 0.18 / 0.16 of word
+    *     characters for n = 2 / 3 / 4 — "top mass" is the max over
+    *     distinct n-grams of multiplicity × n-gram word-chars (ties and
+    *     the frequent-vs-long ambiguity in the paper resolved by taking
+    *     the max char mass, a monotone upper bound of "the most
+    *     frequent n-gram's mass");
+    *   - duplicated n-gram covered-character fraction ≤ 0.15 / 0.14 /
+    *     0.13 / 0.12 / 0.11 / 0.10 for n = 5..10 — characters of word
+    *     positions covered by ANY n-gram occurring twice in the doc,
+    *     each position counted once (the paper's "taking care not to
+    *     count characters twice").
+    * All metrics are integers and all thresholds integer
+    * cross-multiplications, so the DuckDB oracle replays the verdict
+    * bit-for-bit. Everything is computed INSIDE the row (array folds
+    * and nested higher-order filters — no explode, no exchange): the
+    * duplicated-n-gram scan is O(G²) per document in the gram count,
+    * bounded by `maxWords` (default 5000 ≈ the paper's own doc scale;
+    * a production variant of the G² probe would sort-and-scan inside
+    * `mapPartitions`, but the quadratic bound on a CAPPED row is the
+    * price of staying in one codegen-friendly projection). */
+  def gopherRepetitionFilter(documents: DataFrame, maxWords: Int = 5000): DataFrame = {
+    require(maxWords >= 10, s"maxWords must be >= 10, got $maxWords")
+    val grams = (2 to 10).map { n =>
+      when(size(col("w")) >= n,
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")).as(s"g$n")
+    }
+    val prepared = documents
+      .select(col("doc_id"),
+        split(col("text"), "\n").as("lines"),
+        split(col("text"), "\n\n").as("paras"),
+        slice(wsTokens(col("text")), 1, maxWords).as("w"))
+      .select(Seq(col("doc_id"), col("lines"), col("paras"), col("w")) ++ grams: _*)
+
+    def dupCount(arr: Column): Column =
+      (size(arr) - size(array_distinct(arr))).cast("long")
+    def charsSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+    // chars of every occurrence beyond the first: fold over the sorted
+    // array, add length when the element repeats its predecessor (the
+    // "" sentinel is safe — a first empty line adds length 0)
+    def dupChars(arr: Column): Column =
+      aggregate(sort_array(arr),
+        struct(lit("").as("prev"), lit(0L).as("dup")),
+        (acc, x) => struct(x.as("prev"),
+          (acc.getField("dup") +
+            when(x === acc.getField("prev"), length(x).cast("long"))
+              .otherwise(lit(0L))).as("dup")),
+        acc => acc.getField("dup"))
+    // max over distinct grams of multiplicity x word-chars (gram length
+    // minus its n-1 separators), via the run-length fold
+    def topGramChars(n: Int): Column =
+      aggregate(sort_array(col(s"g$n")),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          val cand = run * (length(x).cast("long") - lit((n - 1).toLong))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), cand).as("best"))
+        },
+        acc => acc.getField("best"))
+    // chars of word positions covered by any duplicated n-gram, each
+    // position once (0-based starts; gram i covers words i..i+n-1)
+    def dupCoveredChars(n: Int): Column = {
+      val gr = col(s"g$n")
+      val starts = when(size(gr) > 0, sequence(lit(0), size(gr) - 1))
+        .otherwise(array().cast("array<int>"))
+      val dupStarts = filter(starts, i =>
+        size(filter(gr, g => g === element_at(gr, i + 1))) >= 2)
+      val covered = array_distinct(flatten(
+        transform(dupStarts, i => sequence(i, i + lit(n - 1)))))
+      aggregate(covered, lit(0L),
+        (a, p) => a + length(element_at(col("w"), p + 1)).cast("long"))
+    }
+
+    prepared.select(col("doc_id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      dupCount(col("lines")).as("dup_lines"),
+      charsSum(col("lines")).as("line_chars"),
+      dupChars(col("lines")).as("dup_line_chars"),
+      size(col("paras")).cast("long").as("n_paras"),
+      dupCount(col("paras")).as("dup_paras"),
+      charsSum(col("paras")).as("para_chars"),
+      dupChars(col("paras")).as("dup_para_chars"),
+      charsSum(col("w")).as("n_chars"),
+      topGramChars(2).as("top2_chars"),
+      topGramChars(3).as("top3_chars"),
+      topGramChars(4).as("top4_chars"),
+      dupCoveredChars(5).as("dup5_chars"),
+      dupCoveredChars(6).as("dup6_chars"),
+      dupCoveredChars(7).as("dup7_chars"),
+      dupCoveredChars(8).as("dup8_chars"),
+      dupCoveredChars(9).as("dup9_chars"),
+      dupCoveredChars(10).as("dup10_chars"))
+      .withColumn("keep",
+        lit(10L) * col("dup_lines") <= lit(3L) * col("n_lines") &&
+          lit(5L) * col("dup_line_chars") <= col("line_chars") &&
+          lit(10L) * col("dup_paras") <= lit(3L) * col("n_paras") &&
+          lit(5L) * col("dup_para_chars") <= col("para_chars") &&
+          lit(5L) * col("top2_chars") <= col("n_chars") &&
+          lit(50L) * col("top3_chars") <= lit(9L) * col("n_chars") &&
+          lit(25L) * col("top4_chars") <= lit(4L) * col("n_chars") &&
+          lit(20L) * col("dup5_chars") <= lit(3L) * col("n_chars") &&
+          lit(50L) * col("dup6_chars") <= lit(7L) * col("n_chars") &&
+          lit(100L) * col("dup7_chars") <= lit(13L) * col("n_chars") &&
+          lit(25L) * col("dup8_chars") <= lit(3L) * col("n_chars") &&
+          lit(100L) * col("dup9_chars") <= lit(11L) * col("n_chars") &&
+          lit(10L) * col("dup10_chars") <= col("n_chars"))
+  }
+
   /** Whitespace tokens of a text column, empties removed. */
   private[ops] def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
