@@ -147,7 +147,7 @@ object CurationOps {
       .select(col("doc_id"), col("text"), split(col("text"), "\n").as("lines"))
       .withColumn("kept", filter(col("lines"), l =>
         rtrim(l).rlike("[.!?\"]$") &&
-          size(filter(split(l, "\\s+"), t => t =!= "")) >= minWordsPerLine &&
+          size(wsTokens(l)) >= minWordsPerLine &&
           !lower(l).contains("javascript")))
       .select(col("doc_id"),
         size(col("lines")).as("n_lines"),
@@ -249,12 +249,7 @@ object CurationOps {
     * price of staying in one codegen-friendly projection). */
   def gopherRepetitionFilter(documents: DataFrame, maxWords: Int = 5000): DataFrame = {
     require(maxWords >= 10, s"maxWords must be >= 10, got $maxWords")
-    val grams = (2 to 10).map { n =>
-      when(size(col("w")) >= n,
-        transform(sequence(lit(0), size(col("w")) - n),
-          i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")).as(s"g$n")
-    }
+    val grams = (2 to 10).map(n => tokenNgramsOf(col("w"), n).as(s"g$n"))
     val prepared = documents
       .select(col("doc_id"),
         split(col("text"), "\n").as("lines"),

@@ -237,13 +237,30 @@ object GraphQuery {
   /** Alternation form: closure of `(p1|p2|…)+` — one edge set over all
     * the listed predicates. */
   def pathClosure(triples: DataFrame, preds: Seq[String], maxDepth: Int,
-      maxDegree: Int): DataFrame = {
+      maxDegree: Int): DataFrame =
+    closureOfEdges(predEdges(triples, preds), maxDepth, maxDegree)
+
+  /** Entity-to-entity edge frame of a predicate alternation — the
+    * shared front of [[pathClosure]] and [[seededDistances]]. */
+  private def predEdges(triples: DataFrame, preds: Seq[String]): DataFrame = {
     require(preds.nonEmpty, "no predicates")
-    closureOfEdges(
-      triples
-        .filter(col("pred").isin(preds: _*) && col("objKind") === 0)
-        .select(col("subj").as("src"), col("objValue").as("dst")),
-      maxDepth, maxDegree)
+    triples
+      .filter(col("pred").isin(preds: _*) && col("objKind") === 0)
+      .select(col("subj").as("src"), col("objValue").as("dst"))
+  }
+
+  /** Shared BFS scaffolding: self-edge-trimmed distinct edges plus the
+    * hub-guard extendable subset (sources with out-degree ≤ maxDegree),
+    * both checkpointed — ONE definition of the guard so the closure and
+    * the seeded-distances variants can never silently disagree. */
+  private def guardedEdges(pairs: DataFrame, maxDegree: Int): (DataFrame, DataFrame) = {
+    val edges = pairs
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct().localCheckpoint(true)
+    val okSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree).select(col("src"))
+    (edges, edges.join(okSrc, Seq("src")).localCheckpoint(true))
   }
 
   /** Bounded `+` closure of an ARBITRARY (src, dst) pair frame — the
@@ -256,13 +273,7 @@ object GraphQuery {
   private[pipeline] def closureOfEdges(pairs: DataFrame, maxDepth: Int,
       maxDegree: Int): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be >= 1")
-    val edges = pairs
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      .distinct().localCheckpoint(true)
-    val okSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .filter(col("d") <= maxDegree).select(col("src"))
-    val extendable = edges.join(okSrc, Seq("src")).localCheckpoint(true)
+    val (edges, extendable) = guardedEdges(pairs, maxDegree)
 
     // per-level frames are checkpointed LEAVES; the accumulated reach set
     // is their union (never itself re-checkpointed — Spark 4's
@@ -315,18 +326,10 @@ object GraphQuery {
   def seededDistances(triples: DataFrame, seeds: Seq[String],
       preds: Seq[String], maxDepth: Int, maxDegree: Int = 1024): DataFrame = {
     require(seeds.nonEmpty, "no seeds")
-    require(preds.nonEmpty, "no predicates")
     require(maxDepth >= 1, "maxDepth must be >= 1")
     val spark = triples.sparkSession
     import spark.implicits._
-    val edges = triples
-      .filter(col("pred").isin(preds: _*) && col("objKind") === 0 &&
-        col("subj") =!= col("objValue"))
-      .select(col("subj").as("src"), col("objValue").as("dst"))
-      .distinct().localCheckpoint(true)
-    val okSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .filter(col("d") <= maxDegree).select(col("src"))
-    val extendable = edges.join(okSrc, Seq("src")).localCheckpoint(true)
+    val (edges, extendable) = guardedEdges(predEdges(triples, preds), maxDegree)
 
     var levels = List(seeds.distinct.toDF("node")
       .withColumn("dist", lit(0)).localCheckpoint(true))
