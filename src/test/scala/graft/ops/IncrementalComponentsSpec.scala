@@ -60,6 +60,20 @@ class IncrementalComponentsSpec extends AnyFunSuite {
       50L -> 1L, 51L -> 1L))
   }
 
+  test("chained batches: three successive deltas equal one full rebuild") {
+    val rnd = new Random(41)
+    val n = 20
+    val all = (1 to 36).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.distinct.filter(p => p._1 != p._2)
+    val batches = all.grouped((all.size + 3) / 4).toSeq // 4 batches
+    var labels = DedupOps.dedupComponents(pairsDf(batches.head))
+    for (delta <- batches.tail)
+      labels = DedupOps.incrementalComponents(labels, pairsDf(delta))
+    assert(labelsOf(labels) == labelsOf(DedupOps.dedupComponents(pairsDf(all))))
+  }
+
   test("an empty or already-known delta leaves the labels bit-identical") {
     val old = Seq((1L, 2L), (2L, 3L), (7L, 8L))
     val oldLabels = DedupOps.dedupComponents(pairsDf(old))
