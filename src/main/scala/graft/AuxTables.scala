@@ -30,7 +30,7 @@ object AuxTables {
 
   /** Bump when any aux-producing logic changes — stale materializations
     * from an earlier code version must never satisfy the marker check. */
-  private val Version = "r5s"
+  private val Version = "r5t"
 
   /** Pages in the seeded KG corpus (matches the q_kg_* driver queries). */
   val KgPages = 500
@@ -148,6 +148,13 @@ object AuxTables {
     // quotient work, not a from-scratch label build
     DedupOps.dedupComponents(spark.read.parquet(s"$d/neardup_pairs_even"))
       .coalesce(1).write.mode("overwrite").parquet(s"$d/components_even")
+
+    // 3a-bis. the per-document distinct shingle-hash arrays — the
+    //     build-once artifact the EXACT pair operators probe
+    //     (prefixSimJoinFromSets, containmentJoinFromSets): at scale the
+    //     corpus is shingled once, not per query
+    DedupOps.shingleSets(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/shingle_sets")
 
     // 3b. minhash sketch table with TWO PLANTED hot families: 24
     //     identical boilerplate docs (ids 1000001..1000024) and 24

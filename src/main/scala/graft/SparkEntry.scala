@@ -1352,15 +1352,18 @@ object SparkEntry {
     // the deterministic complement to q_minhash_neardups on the same
     // shingle space; the oracle is brute-force all-pairs over raw strings
     "q_simjoin_exact" -> ((s, dir) =>
-      DedupOps.prefixSimJoin(t(s, dir, "documents"), tn = 1, td = 2)
+      DedupOps.prefixSimJoinFromSets(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/shingle_sets"),
+        tn = 1, td = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
     // asymmetric containment (quote/aggregator detection): pairs where
     // the smaller shingle set is >= 4/5 inside the larger — candidates
     // from a df-capped rare-shingle inverted index, exact verify; the
     // oracle replays the identical candidate rule + intersect in SQL
     "q_containment" -> ((s, dir) =>
-      DedupOps.containmentJoin(t(s, dir, "documents"), tn = 4, td = 5,
-        maxDf = 64L)
+      DedupOps.containmentJoinFromSets(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/shingle_sets"),
+        tn = 4, td = 5, maxDf = 64L)
         .orderBy(col("doc_a"), col("doc_b"))),
     // BPE merge training (Sennrich-style) over the corpus word-frequency
     // table: 12 merges, each = positional pair count weighted by word

@@ -326,11 +326,20 @@ object DedupOps {
     * exists precisely for pipelines that can accept star-edge
     * degradation instead; this operator is the one that can't). */
   def prefixSimJoin(documents: DataFrame, tn: Int = 1, td: Int = 2,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3): DataFrame =
+    // build-once arrays feed the prefix build AND both verify sides
+    prefixSimJoinFromSets(
+      shingleSets(documents, shingleWidth).localCheckpoint(true), tn, td)
+
+  /** [[prefixSimJoin]] over an ALREADY-MATERIALIZED (doc_id, shingles)
+    * frame — the production shape: shingle arrays are a build-once
+    * persisted artifact (like `minhash_sketches`), so the per-run cost
+    * is the prefix join itself, never the corpus re-shingle. The input
+    * must be cheap to re-scan (a parquet read or a checkpointed frame):
+    * it feeds the prefix build and both verify sides. */
+  def prefixSimJoinFromSets(sets: DataFrame, tn: Int = 1, td: Int = 2): DataFrame = {
     require(tn >= 1 && td >= tn, s"threshold tn/td in (0,1]: $tn/$td")
     import org.apache.spark.sql.expressions.Window
-    // build-once arrays feed the prefix build AND both verify sides
-    val sets = shingleSets(documents, shingleWidth).localCheckpoint(true)
     val dt = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("m"),
       explode(col("shingles")).as("sh"))
     val dfq = dt.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -387,10 +396,16 @@ object DedupOps {
     * side) and the candidate id-pairs (both verify rejoins consume
     * them). Default tn/td = 4/5: containment ≥ 0.8. */
   def containmentJoin(documents: DataFrame, tn: Int = 4, td: Int = 5,
-      shingleWidth: Int = 3, maxDf: Long = 64L): DataFrame = {
+      shingleWidth: Int = 3, maxDf: Long = 64L): DataFrame =
+    containmentJoinFromSets(
+      shingleSets(documents, shingleWidth).localCheckpoint(true), tn, td, maxDf)
+
+  /** [[containmentJoin]] over an already-materialized (doc_id, shingles)
+    * frame — same production contract as [[prefixSimJoinFromSets]]. */
+  def containmentJoinFromSets(sets: DataFrame, tn: Int = 4, td: Int = 5,
+      maxDf: Long = 64L): DataFrame = {
     require(tn >= 1 && td >= tn, s"threshold tn/td in (0,1]: $tn/$td")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val sets = shingleSets(documents, shingleWidth).localCheckpoint(true)
     val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // df == 1 shingles can nominate no pair; dropping them here only
     // shrinks the postings shuffle, never the candidate set
