@@ -41,7 +41,7 @@ object PlanAudit {
     "q_bpe_merges", "q_quality_classifier", "q_bpe_tokenize", "q_kg_path",
     "q_pareto_select", "q_split_leakproof", "q_kg_distances",
     "q_containment", "q_dedup_components_inc", "q_c4_linefilter",
-    "q_gopher_quality", "q_gopher_repetition")
+    "q_gopher_quality", "q_gopher_repetition", "q_kg_disambiguate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -837,6 +837,13 @@ object SparkEntry {
         .orderBy(col("score").desc, col("node"))
         .limit(100)
     }),
+    // mention disambiguation: ambiguous name-derived candidates scored
+    // by context overlap (sorted capped neighbor sets), argmax with a
+    // pinned total order — the oracle replays sets, scores, and window
+    "q_kg_disambiguate" -> ((s, dir) =>
+      GraphMaterialize.disambiguateMentions(
+        s.read.parquet(s"${AuxTables.ensure(s, dir)}/triples"))
+        .orderBy(col("subj"), col("surface"))),
     // entity co-occurrence edges (degree-capped per-subject self-join);
     // oracle = the same dedup/cap/join/HAVING in plain SQL
     "q_kg_cooccur" -> ((s, dir) =>
@@ -2727,6 +2734,45 @@ object SparkEntry {
         |   AND n_stop_hits >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_gopher_repetition" -> gopherRepOracleSql,
+    // disambiguation: name dictionary, degree-capped directed
+    // co-reference counts (bnode refs + self-rows), and the
+    // (score desc, entity) argmax — all replayed
+    "q_kg_disambiguate" ->
+      """WITH names AS (
+        |  SELECT DISTINCT lower(objValue) AS surface, subj
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE objKind = 2 AND pred IN (
+        |    'http://schema.org/name', 'http://xmlns.com/foaf/0.1/name',
+        |    'http://schema.org/brand', 'http://purl.org/dc/elements/1.1/title')),
+        |refs AS (
+        |  SELECT DISTINCT subj, objValue AS ent
+        |  FROM read_parquet('{AUX}/triples/*.parquet')
+        |  WHERE objKind IN (0, 1) AND subj <> objValue),
+        |po AS (SELECT subj, ent FROM refs
+        |       UNION SELECT DISTINCT subj, subj FROM refs),
+        |kept AS (
+        |  SELECT p.subj, p.ent FROM po p JOIN (
+        |    SELECT subj FROM po GROUP BY subj HAVING count(*) <= 64) k
+        |  ON p.subj = k.subj),
+        |coref AS (
+        |  SELECT l.ent AS subj, r.ent AS entity, CAST(count(*) AS BIGINT) AS coref
+        |  FROM kept l JOIN kept r ON l.subj = r.subj AND l.ent <> r.ent
+        |  GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT m.subj, m.surface, c.subj AS entity
+        |  FROM names m JOIN names c ON m.surface = c.surface AND m.subj <> c.subj),
+        |scored AS (
+        |  SELECT k.subj, k.surface, k.entity, COALESCE(cr.coref, 0) AS score
+        |  FROM cands k LEFT JOIN coref cr
+        |  ON cr.subj = k.subj AND cr.entity = k.entity),
+        |r AS (
+        |  SELECT subj, surface, entity, score,
+        |    CAST(count(*) OVER (PARTITION BY subj, surface) AS BIGINT) AS n_cands,
+        |    row_number() OVER (PARTITION BY subj, surface
+        |                       ORDER BY score DESC, entity) AS rn
+        |  FROM scored)
+        |SELECT subj, surface, entity, score, n_cands FROM r WHERE rn = 1
+        |ORDER BY subj, surface""".stripMargin,
     "q_dedup_lines" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, chr(10)) AS ln

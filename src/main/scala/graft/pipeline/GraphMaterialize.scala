@@ -69,6 +69,76 @@ object GraphMaterialize {
       .select(col("subj"), col("surface"), col("entity"))
   }
 
+  /** Mention DISAMBIGUATION by co-reference scoring — the "entity-link
+    * scoring" step the plain dictionary joins above cannot express: when
+    * one surface form names SEVERAL nodes ("stark industries" → the
+    * canonical hub IRI plus 23 doc-local bnode mentions in the synthetic
+    * corpus), [[linkEntities]] would multiply the mention row per
+    * candidate; this operator SCORES each candidate and keeps the best.
+    *
+    * Candidates for a mention are the OTHER nodes asserting the same
+    * (lower-cased) name literal — the name-derived dictionary, ambiguous
+    * by construction. The score of candidate `e` for mention node `x` is
+    * the number of distinct subjects whose statements reference BOTH
+    * (bnode references included — doc-local mention bnodes are reachable
+    * ONLY through objKind=1 edges, which is why [[entityCoOccurrence]]'s
+    * IRI-only pair table cannot serve here): a page's event node that
+    * lists the mention bnode as `performer` and the canonical hub as
+    * `location` is one co-referencing subject, and that coherence signal
+    * is exactly what separates the right namesake from the other docs'
+    * bnodes (zero shared subjects). Each node also counts as referencing
+    * itself, so a DIRECT x→e edge scores through x. Winner per
+    * (subj, surface): highest score, then smallest entity — a total
+    * order the SQL oracle replays exactly. Emits
+    * (subj, surface, entity, score, n_cands).
+    *
+    * Plan: deduped (subj, ent) reference rows are degree-capped FIRST
+    * (the [[entityCoOccurrence]] rule — no mega-hub subject may emit a
+    * quadratic pair block), then one subj-keyed self-join builds
+    * directed co-reference counts with map-side partial agg; the
+    * candidate join is surface-keyed (ambiguity per surface is
+    * human-name-scale), the score attachment is (node, node)-keyed, and
+    * the argmax is a (subj, surface) window — every exchange carries
+    * ids and one count. */
+  def disambiguateMentions(triples: DataFrame, maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    import org.apache.spark.sql.expressions.Window
+    val names = triples
+      .filter(col("objKind") === 2 && col("pred").isin(MentionPreds: _*))
+      .select(lower(col("objValue")).as("surface"), col("subj"))
+      .distinct()
+    val refs = triples
+      .filter(col("objKind").isin(0, 1) && col("subj") =!= col("objValue"))
+      .select(col("subj"), col("objValue").as("ent"))
+    // self-rows make a direct x→e edge count as co-reference through x
+    val po = refs.unionByName(
+        refs.select(col("subj"), col("subj").as("ent")).distinct())
+      .distinct()
+    val kept = po.join(
+      po.groupBy(col("subj")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= maxDegree).select(col("subj")),
+      Seq("subj"))
+    val coref = kept.as("l").join(kept.as("r"),
+        col("l.subj") === col("r.subj") && col("l.ent") =!= col("r.ent"))
+      .groupBy(col("l.ent").as("subj"), col("r.ent").as("entity"))
+      .agg(count(lit(1)).as("coref"))
+    val cands = names.as("m")
+      .join(names.as("c"), col("m.surface") === col("c.surface") &&
+        col("m.subj") =!= col("c.subj"))
+      .select(col("m.subj").as("subj"), col("m.surface").as("surface"),
+        col("c.subj").as("entity"))
+    cands
+      .join(coref, Seq("subj", "entity"), "left")
+      .withColumn("score", coalesce(col("coref"), lit(0L)))
+      .withColumn("n_cands", count(lit(1)).over(
+        Window.partitionBy(col("subj"), col("surface"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("subj"), col("surface"))
+          .orderBy(col("score").desc, col("entity"))))
+      .filter(col("rn") === 1)
+      .select(col("subj"), col("surface"), col("entity"), col("score"), col("n_cands"))
+  }
+
   /** Entity linking that survives a NON-broadcastable dictionary — the
     * north rule's mention→entity join at 10⁷–10⁸ dictionary surfaces
     * (VERDICT r3 #1: the broadcast-only join was the last plan that dies
