@@ -2748,12 +2748,10 @@ object SparkEntry {
         |  SELECT DISTINCT subj, objValue AS ent
         |  FROM read_parquet('{AUX}/triples/*.parquet')
         |  WHERE objKind IN (0, 1) AND subj <> objValue),
-        |po AS (SELECT subj, ent FROM refs
-        |       UNION SELECT DISTINCT subj, subj FROM refs),
+        |keptsubj AS (SELECT subj FROM refs GROUP BY subj HAVING count(*) <= 64),
         |kept AS (
-        |  SELECT p.subj, p.ent FROM po p JOIN (
-        |    SELECT subj FROM po GROUP BY subj HAVING count(*) <= 64) k
-        |  ON p.subj = k.subj),
+        |  SELECT r.subj, r.ent FROM refs r JOIN keptsubj k ON r.subj = k.subj
+        |  UNION SELECT subj, subj FROM keptsubj),
         |coref AS (
         |  SELECT l.ent AS subj, r.ent AS entity, CAST(count(*) AS BIGINT) AS coref
         |  FROM kept l JOIN kept r ON l.subj = r.subj AND l.ent <> r.ent

@@ -326,10 +326,13 @@ object DedupOps {
     * exists precisely for pipelines that can accept star-edge
     * degradation instead; this operator is the one that can't). */
   def prefixSimJoin(documents: DataFrame, tn: Int = 1, td: Int = 2,
-      shingleWidth: Int = 3): DataFrame =
+      shingleWidth: Int = 3): DataFrame = {
+    // fail fast BEFORE the eager corpus shingle pass below
+    require(tn >= 1 && td >= tn, s"threshold tn/td in (0,1]: $tn/$td")
     // build-once arrays feed the prefix build AND both verify sides
     prefixSimJoinFromSets(
       shingleSets(documents, shingleWidth).localCheckpoint(true), tn, td)
+  }
 
   /** [[prefixSimJoin]] over an ALREADY-MATERIALIZED (doc_id, shingles)
     * frame — the production shape: shingle arrays are a build-once
@@ -396,9 +399,13 @@ object DedupOps {
     * side) and the candidate id-pairs (both verify rejoins consume
     * them). Default tn/td = 4/5: containment ≥ 0.8. */
   def containmentJoin(documents: DataFrame, tn: Int = 4, td: Int = 5,
-      shingleWidth: Int = 3, maxDf: Long = 64L): DataFrame =
+      shingleWidth: Int = 3, maxDf: Long = 64L): DataFrame = {
+    // fail fast BEFORE the eager corpus shingle pass below
+    require(tn >= 1 && td >= tn, s"threshold tn/td in (0,1]: $tn/$td")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     containmentJoinFromSets(
       shingleSets(documents, shingleWidth).localCheckpoint(true), tn, td, maxDf)
+  }
 
   /** [[containmentJoin]] over an already-materialized (doc_id, shingles)
     * frame — same production contract as [[prefixSimJoinFromSets]]. */

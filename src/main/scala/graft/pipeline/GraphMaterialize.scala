@@ -93,8 +93,10 @@ object GraphMaterialize {
     * (subj, surface, entity, score, n_cands).
     *
     * Plan: deduped (subj, ent) reference rows are degree-capped FIRST
-    * (the [[entityCoOccurrence]] rule — no mega-hub subject may emit a
-    * quadratic pair block), then one subj-keyed self-join builds
+    * (the shared [[degreeCappedRefs]] rule, counted over REAL references
+    * — the self-row is added after the cap so a subject with exactly
+    * `maxDegree` references is kept, same boundary as
+    * [[entityCoOccurrence]]), then one subj-keyed self-join builds
     * directed co-reference counts with map-side partial agg; the
     * candidate join is surface-keyed (ambiguity per surface is
     * human-name-scale), the score attachment is (node, node)-keyed, and
@@ -103,21 +105,15 @@ object GraphMaterialize {
   def disambiguateMentions(triples: DataFrame, maxDegree: Int = 64): DataFrame = {
     require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
     import org.apache.spark.sql.expressions.Window
-    val names = triples
-      .filter(col("objKind") === 2 && col("pred").isin(MentionPreds: _*))
-      .select(lower(col("objValue")).as("surface"), col("subj"))
-      .distinct()
+    val names = nameSurfaces(triples)
     val refs = triples
       .filter(col("objKind").isin(0, 1) && col("subj") =!= col("objValue"))
       .select(col("subj"), col("objValue").as("ent"))
-    // self-rows make a direct x→e edge count as co-reference through x
-    val po = refs.unionByName(
-        refs.select(col("subj"), col("subj").as("ent")).distinct())
       .distinct()
-    val kept = po.join(
-      po.groupBy(col("subj")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") <= maxDegree).select(col("subj")),
-      Seq("subj"))
+    val keptRefs = degreeCappedRefs(refs, maxDegree)
+    // self-rows make a direct x→e edge count as co-reference through x
+    val kept = keptRefs.unionByName(
+      keptRefs.select(col("subj"), col("subj").as("ent")).distinct())
     val coref = kept.as("l").join(kept.as("r"),
         col("l.subj") === col("r.subj") && col("l.ent") =!= col("r.ent"))
       .groupBy(col("l.ent").as("subj"), col("r.ent").as("entity"))
@@ -739,17 +735,33 @@ object GraphMaterialize {
       .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
       .select(col("subj"), col("objValue").as("ent"))
       .distinct()
-    val kept = po.join(
-      po.groupBy(col("subj")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") <= maxDegree)
-        .select(col("subj")),
-      Seq("subj"))
+    val kept = degreeCappedRefs(po, maxDegree)
     kept.as("l").join(kept.as("r"),
         col("l.subj") === col("r.subj") && col("l.ent") < col("r.ent"))
       .select(col("l.ent").as("e1"), col("r.ent").as("e2"))
       .groupBy(col("e1"), col("e2")).agg(count(lit(1)).as("n_subjects"))
       .filter(col("n_subjects") >= minSubjects)
   }
+
+  /** Drop every row of subjects holding more than `maxDegree` reference
+    * rows — THE degree-cap rule shared by [[entityCoOccurrence]] and
+    * [[disambiguateMentions]] (a mega-hub subject must never enter a
+    * subject-keyed self-join). Keys-only count + semi-shaped join. */
+  private def degreeCappedRefs(po: DataFrame, maxDegree: Int): DataFrame =
+    po.join(
+      po.groupBy(col("subj")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= maxDegree)
+        .select(col("subj")),
+      Seq("subj"))
+
+  /** Distinct (surface, subj) pairs of the corpus's lower-cased
+    * [[MentionPreds]] name literals — the name-derived dictionary shared
+    * by [[disambiguateMentions]] and [[derivedHubDictionary]]. */
+  private def nameSurfaces(triples: DataFrame): DataFrame =
+    triples
+      .filter(col("objKind") === 2 && col("pred").isin(MentionPreds: _*))
+      .select(lower(col("objValue")).as("surface"), col("subj"))
+      .distinct()
 
   /** Hub dictionary DERIVED from the graph itself: the top-N entities by
     * [[hubScores]], labeled with the surface forms the corpus actually
@@ -769,10 +781,7 @@ object GraphMaterialize {
       iterations: Int = 6): DataFrame = {
     val top = hubScores(triples, iterations)
       .orderBy(col("score").desc, col("node")).limit(topN)
-    val names = triples
-      .filter(col("objKind") === 2 && col("pred").isin(MentionPreds: _*))
-      .select(col("subj").as("node"), lower(col("objValue")).as("surface"))
-      .distinct()
+    val names = nameSurfaces(triples).select(col("subj").as("node"), col("surface"))
     top.join(names, Seq("node"))
       .groupBy(col("surface"))
       .agg(max(struct(col("score").as("sc"), col("node").as("e"))).as("m"))

@@ -75,5 +75,9 @@ class DisambiguateSpec extends AnyFunSuite {
     assert(capped(("_:b1", "acme"))._2 == 0L)
     // with a generous cap the same data scores 1
     assert(run(rows, maxDegree = 128)(("_:b1", "acme")) == (("H", 1L, 1L)))
+    // the cap counts REAL references only (82 here): the self-row does
+    // not consume a slot, so the boundary subject is kept
+    assert(run(rows, maxDegree = 82)(("_:b1", "acme")) == (("H", 1L, 1L)))
+    assert(run(rows, maxDegree = 81)(("_:b1", "acme"))._2 == 0L)
   }
 }
