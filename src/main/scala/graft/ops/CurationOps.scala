@@ -907,7 +907,9 @@ object CurationOps {
       .select(col("h1"), col("h2"),
         coalesce(col("r_f"), lit(0L)).as("r_f"),
         coalesce(col("t_f"), lit(0L)).as("t_f"))
-      .localCheckpoint(true)
+      // lazy: the scalar-totals collect below materializes the blocks,
+      // the probe join then reads them (one job, not two — optimization r6)
+      .localCheckpoint(false)
     val Array(totR, totT, totV) = {
       val row = dict.agg(sum(col("r_f")), sum(col("t_f")), count(lit(1))).first()
       Array(row.getLong(0), row.getLong(1), row.getLong(2))
@@ -987,13 +989,22 @@ object CurationOps {
       .select(col("h1"), col("h2"),
         coalesce(col("p_f"), lit(0L)).as("p_f"),
         coalesce(col("n_f"), lit(0L)).as("n_f"))
-      .localCheckpoint(true) // consumed by the totals agg AND the probe join
+      // lazy: the totals collect below materializes the blocks, the
+      // probe join then reads them (one job, not two — optimization r6)
+      .localCheckpoint(false)
     val Array(totP, totN, totV) = {
       val row = dict.agg(sum(col("p_f")), sum(col("n_f")), count(lit(1))).first()
       Array(row.getLong(0), row.getLong(1), row.getLong(2))
     }
     val constBias = lgL(totN + totV) - lgL(totP + totV)
-    val prior1024 = lgL(positives.count()) - lgL(negatives.count())
+    val nPos = positives.count()
+    val nNeg = negatives.count()
+    // loud up-front validation (ADVICE r5): an empty seed class used to
+    // surface as lgL's cryptic "domain is x >= 1" require far from the
+    // actual cause
+    require(nPos > 0 && nNeg > 0,
+      s"quality classifier seed samples must be non-empty (positives=$nPos, negatives=$nNeg)")
+    val prior1024 = lgL(nPos) - lgL(nNeg)
     val weights = dict.withColumn("wlg",
       expr(s"${lg1024Sql("p_f + 1")} - ${lg1024Sql("n_f + 1")} + CAST($constBias AS BIGINT)"))
       .select(col("h1"), col("h2"), col("wlg"))
@@ -1033,6 +1044,10 @@ object CurationOps {
   def paretoSelect(scored: DataFrame, alpha: Int = 9): DataFrame = {
     require(alpha >= 1, s"alpha must be >= 1, got $alpha")
     val row = scored.agg(min(col("score")), max(col("score"))).first()
+    // loud empty-input guard (ADVICE r5): min/max aggregate to NULL on an
+    // empty frame and getLong would throw a bare NullPointerException
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      "paretoSelect requires a non-empty scored frame (min/max score aggregated to NULL)")
     val (mn, mx) = (row.getLong(0), row.getLong(1))
     val span = math.max(mx - mn, 1L)
     scored.select(col("doc_id").cast("long").as("doc_id"), col("score"))
@@ -1157,7 +1172,11 @@ object CurationOps {
         coalesce(col("nll"), lit(0L)).as("nll"))
       .withColumn("ppl1024",
         when(col("n_bigrams") >= 1, expr("nll div n_bigrams")).otherwise(lit(0L)))
-      .localCheckpoint(true)
+      // lazy: the tercile-threshold collect below materializes every
+      // partition (the filter sits downstream of the checkpoint), the
+      // bucketing branch then reads the blocks (one job, not two —
+      // optimization r6)
+      .localCheckpoint(false)
     val thresholds = exactQuantiles(
       scored.filter(col("n_bigrams") >= 1).withColumn("g", lit(1)),
       "g", "ppl1024", Seq(33, 67))

@@ -352,13 +352,18 @@ object DedupOps {
       .withColumn("pi", col("m") - expr(s"($tn * m + $td - 1) div $td") + lit(1))
     val prefix = ranked.filter(col("r") <= col("pi"))
       .select(col("sh"), col("doc_id"), col("m"))
+    // the self-join's two sides are identical subtrees exchanged on `sh`,
+    // so ReuseExchange computes the prefix build once (verified in the
+    // audited plan); `cand` itself feeds ONE join chain (cand ⋈ sets ⋈
+    // sets — a single plan reference), so the eager checkpoint the
+    // round-5 code ran here bought no reuse and cost a materialization
+    // barrier per call (optimization r6)
     val cand = prefix.as("pa").join(prefix.as("pb"),
         col("pa.sh") === col("pb.sh") && col("pa.doc_id") < col("pb.doc_id") &&
           greatest(col("pa.m"), col("pb.m")) * tn <=
             least(col("pa.m"), col("pb.m")) * td)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint(true) // feeds both sides of the verify join
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sha")),
         Seq("doc_a"))
@@ -393,11 +398,13 @@ object DedupOps {
     * candidate set degenerates to every pair sharing any shingle and
     * the operator is brute-force-exact (ContainmentSpec proves it).
     *
-    * Plan: the build-once shingle arrays are checkpointed (they feed
-    * the postings build and both verify sides — the multi-branch rule),
-    * as are the rare postings (df agg runs once, not per self-join
-    * side) and the candidate id-pairs (both verify rejoins consume
-    * them). Default tn/td = 4/5: containment ≥ 0.8. */
+    * Plan: the build-once shingle arrays are checkpointed when built
+    * here (they feed the postings build and both verify sides — the
+    * multi-branch rule); inside the join itself ReuseExchange serves
+    * the df agg and both self-join sides from ONE postings exchange,
+    * and the candidate id-pairs feed a single join chain — so the
+    * FromSets path runs checkpoint-free (optimization r6). Default
+    * tn/td = 4/5: containment ≥ 0.8. */
   def containmentJoin(documents: DataFrame, tn: Int = 4, td: Int = 5,
       shingleWidth: Int = 3, maxDf: Long = 64L): DataFrame = {
     // fail fast BEFORE the eager corpus shingle pass below
@@ -418,12 +425,18 @@ object DedupOps {
     // shrinks the postings shuffle, never the candidate set
     val rare = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf).select(col("sh"))
-    val rarePosts = posts.join(rare, Seq("sh")).localCheckpoint(true)
+    // no checkpoints (optimization r6): the rare-postings self-join's two
+    // sides are identical subtrees exchanged on `sh` — ReuseExchange
+    // computes the postings build once, and the df agg reuses the same
+    // exchange of `posts` (verified in the audited plan); `cand` feeds a
+    // single join chain (one plan reference), so the two eager
+    // checkpoints the round-5 code ran here were pure materialization
+    // barriers
+    val rarePosts = posts.join(rare, Seq("sh"))
     val cand = rarePosts.as("a").join(rarePosts.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint(true) // feeds both sides of the verify join
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sha")),
         Seq("doc_a"))
@@ -695,24 +708,31 @@ object DedupOps {
       // CHAIN of length > maxIter would fail loudly at web scale
       // (cross-wiki sameAs paths run long); the jump halves the
       // distance to the minimum every round → O(log diameter). Fusing
-      // it keeps ONE eager checkpoint per round — a first cut that
+      // it keeps ONE checkpoint per round — a first cut that
       // checkpointed an intermediate "stepped" frame doubled the
       // session's checkpoint-RDD churn and measurably degraded a ~40 s
       // window of every full Bench session (A/B-verified: totals
       // 47-51 s vs 23 s) despite being cheap in isolation. Every comp
       // value is itself a node id, so the jump key always resolves
       // (left + coalesce only for paranoia).
+      //
+      // Optimization r6: the round's frame CARRIES the previous label
+      // (`old`) instead of re-joining labels for change detection, and
+      // the checkpoint is LAZY — the convergence count() materializes
+      // every partition, so one round = exactly one job (the eager form
+      // ran checkpoint + a join-bearing count = two jobs and one more
+      // equi-join per round). By the time round i+1 references `next`
+      // three ways, its blocks are already materialized by this count.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .join(labels.select(col("id").as("jump_from"), col("comp").as("jump_to")),
           col("comp") === col("jump_from"), "left")
-        .select(col("id"), least(col("comp"),
+        .select(col("id"), col("comp").as("old"), least(col("comp"),
           coalesce(col("nbr"), col("comp")),
           coalesce(col("jump_to"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+        .localCheckpoint(false)
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     if (changed > 0)

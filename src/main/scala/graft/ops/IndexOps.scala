@@ -70,9 +70,12 @@ object IndexOps {
     val grams = documents
       .select(col("doc_id").cast("long").as("doc_id"), toks(col("text")).as("w"))
       .select(col("doc_id"), explode(phraseGramsOf(col("w"), n)).as("gram"))
+    // tf's two consumers (the df band agg and the postings semi-join)
+    // both take it exchanged on `h` — ReuseExchange computes the scan +
+    // agg once without a checkpoint (optimization r6; verified in the
+    // audited plan)
     val tf = grams.select(col("doc_id"), xxhash64(col("gram")).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
     val band = tf.groupBy(col("h"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
@@ -130,7 +133,9 @@ object IndexOps {
     val spark = documents.sparkSession
     import spark.implicits._
     val docToks = documents.select(col("doc_id").cast("long").as("doc_id"),
-      toks(col("text")).as("w")).localCheckpoint(true) // feeds stats + tf
+      // lazy: the stats collect below materializes the blocks, the tf
+      // branch then reads them (one job, not two — optimization r6)
+      toks(col("text")).as("w")).localCheckpoint(false)
     val Array(nDocs, totToks) = docToks
       .agg(count(lit(1)), sum(size(col("w")))).collect()
       .map(r => Array(r.getLong(0), r.getLong(1))).head
@@ -142,7 +147,8 @@ object IndexOps {
       .select(col("doc_id"), col("dl"), xxhash64(col("term")).as("h"))
       .join(broadcast(qKeys), Seq("h"), "left_semi")
       .groupBy(col("doc_id"), col("dl"), col("h")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds df + the scoring branch
+      // feeds df + the scoring branch, both exchanged on `h` —
+      // ReuseExchange computes it once, no checkpoint (optimization r6)
     val dfreq = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("h"))
       .withColumn("dlr", expr(s"dl * 1000L * ${nDocs}L div ${totToks}L"))

@@ -100,13 +100,14 @@ object TextOps {
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // scored feeds TWO branches (the per-doc threshold and the candidate
-    // filter) — checkpoint it or each branch re-runs the tokenize scan +
-    // both aggs (the multi-branch rule). Keys-only rows (40 bytes); at
-    // production scale this is the artifact a pipeline would persist.
-    // Makes the entry point EAGER (like the sketch builders).
+    // filter) — but BOTH consume it hash-partitioned on doc_id (the kth
+    // window partitions by doc_id; the candidate join keys on doc_id), so
+    // ReuseExchange serves both branches from ONE exchange and the
+    // tokenize scan + both aggs run once without any checkpoint
+    // (optimization r6 — the eager checkpoint here cost a standalone
+    // materialization job per call; verified in the audited plan).
     val scored = tf.join(dfreq, Seq("h"))
       .withColumn("score", expr("tf * 1000000L div df"))
-      .localCheckpoint(true)
     // k-th highest score per doc: min over any k top rows — tie-choice
     // among equal scores cannot change the threshold value
     val byScore = org.apache.spark.sql.expressions.Window
@@ -178,7 +179,9 @@ object TextOps {
     val c2 = biKeys.groupBy("h1", "h2").agg(count(lit(1)).as("pair_n"),
       min(col("p1")).as("p1"), min(col("p2")).as("p2"),
       min(col("s1")).as("s1"), min(col("s2")).as("s2"))
-      .localCheckpoint(true) // two consumers: the N scalar + the pmi join
+      // lazy: the N-scalar collect right below materializes the blocks;
+      // the pmi join then reads them (one job, not two — optimization r6)
+      .localCheckpoint(false)
     val totN = c2.agg(sum(col("pair_n"))).first().getLong(0)
     val lgN = {
       val il = 63 - java.lang.Long.numberOfLeadingZeros(totN)
@@ -197,7 +200,9 @@ object TextOps {
         s"${CurationOps.lg1024Sql("pair_n")} + ${lgN}L" +
           s" - ${CurationOps.lg1024Sql("left_n")} - ${CurationOps.lg1024Sql("right_n")}"))
       .withColumn("salt_b", pmod(xxhash64(col("h1"), col("h2")), lit(salt)))
-      .localCheckpoint(true) // two consumers: bucket kth + candidate filter
+      // two consumers (bucket kth + candidate filter), both keyed on
+      // salt_b — ReuseExchange serves them from one exchange, no
+      // checkpoint needed (optimization r6; verified in the audited plan)
     val byPmi = Window.partitionBy(col("salt_b")).orderBy(col("pmi1024").desc)
     val kth = scoredKeys.withColumn("rn", row_number().over(byPmi))
       .filter(col("rn") <= k)

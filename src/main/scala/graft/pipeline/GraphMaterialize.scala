@@ -263,9 +263,14 @@ object GraphMaterialize {
         !col("subj").startsWith("_:"))
       .select(col("subj").as("a"), col("objValue").as("b"))
       .distinct()
+    // dedupComponents already returns a frame whose blocks are
+    // materialized (its convergence counts ran); the non-trivial-row
+    // filter is a narrow scan of those blocks, so re-checkpointing the
+    // mapping here copied already-cached data in a standalone job for
+    // nothing — the two join branches below each re-run only the cheap
+    // filter over the cached labels (optimization r6)
     val mapping = graft.ops.DedupOps.dedupComponents(edges, maxIter)
       .filter(col("id") =!= col("comp"))
-      .localCheckpoint(true)
     val subjMap = mapping.select(col("id").as("subj"), col("comp").as("subj_c"))
     val objMap = mapping.select(col("id").as("objValue"), col("comp").as("obj_c"))
     triples.filter(col("pred") =!= sameAsPred)
@@ -576,12 +581,18 @@ object GraphMaterialize {
     * shrink the unit (e.g. 1e6) — the ranking is unit-invariant.
     *
     * Scale shape: edges+degrees are computed ONCE and localCheckpointed
-    * (each iteration references them; an un-truncated chain would re-scan
-    * the triple table per iteration — the multi-branch rule). Per
-    * iteration: one equi-join on src + one hash agg on dst, 24-byte rows,
-    * map-side partial sums; scores are checkpointed per round so the plan
-    * stays O(1) deep. Eager by contract (like DedupOps' sketch builders):
-    * calling this runs jobs. */
+    * LAZILY (each iteration references them; an un-truncated chain would
+    * re-scan the triple table per iteration — the multi-branch rule; the
+    * lazy form materializes the blocks inside the first consuming job and
+    * ReuseExchange serves every later iteration, so no standalone
+    * checkpoint job runs — optimization r6). Per iteration: one equi-join
+    * on src + one hash agg on dst, 24-byte rows, map-side partial sums.
+    * Score frames are checkpointed LAZILY per round: the logical plan
+    * each round hands Catalyst stays O(1)-deep (an unrolled 6-iteration
+    * plan was A/B-measured ~20% SLOWER than round 5 purely from
+    * superlinear optimizer/AQE cost on the deep join tree), but no
+    * per-round job runs — the caller's one action materializes the whole
+    * cached-RDD chain. */
   def hubScores(triples: DataFrame, iterations: Int = 6): DataFrame = {
     val edges = triples
       .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
@@ -589,10 +600,10 @@ object GraphMaterialize {
       .distinct()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // (src, dst, out_degree) — the loop-invariant frame, built once
-    val withDeg = edges.join(outDeg, Seq("src")).localCheckpoint(true)
+    val withDeg = edges.join(outDeg, Seq("src")).localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var scores = nodes.select(col("node"), lit(1000000000L).as("score"))
     for (_ <- 1 to iterations) {
       val inSums = withDeg
@@ -602,7 +613,7 @@ object GraphMaterialize {
       scores = nodes.join(inSums, Seq("node"), "left")
         .select(col("node"),
           (lit(150000000L) + expr("(85 * coalesce(insum, 0L)) div 100")).as("score"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     scores
   }
@@ -620,10 +631,14 @@ object GraphMaterialize {
     * seeds only.
     *
     * Scale shape inherited from [[hubScores]]: the loop-invariant
-    * (src, dst, out_degree) frame and the node set are checkpointed once;
-    * each iteration is one key-partitioned join + one map-side-combining
-    * sum agg; scores are 16-byte (node, long) rows. The seed predicate is
-    * a broadcast-trivial `isin` literal (seed sets are human-scale). */
+    * (src, dst, out_degree) frame and the node set are lazily
+    * checkpointed once (materialized inside the first consuming job,
+    * ReuseExchange thereafter); each iteration is one key-partitioned
+    * join + one map-side-combining sum agg; scores are 16-byte
+    * (node, long) rows, lazily checkpointed per round (flat per-round
+    * plans, zero per-round jobs — the hubScores r6 discipline). The
+    * seed predicate is a broadcast-trivial `isin` literal (seed sets
+    * are human-scale). */
   def personalizedPageRank(triples: DataFrame, seeds: Seq[String],
       iterations: Int = 6): DataFrame = {
     require(seeds.nonEmpty, "seed set must be non-empty")
@@ -632,10 +647,10 @@ object GraphMaterialize {
       .select(col("subj").as("src"), col("objValue").as("dst"))
       .distinct()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val withDeg = edges.join(outDeg, Seq("src")).localCheckpoint(true)
+    val withDeg = edges.join(outDeg, Seq("src")).localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val isSeed = col("node").isin(seeds: _*)
     var scores = nodes.select(col("node"),
       when(isSeed, lit(1000000000L)).otherwise(lit(0L)).as("score"))
@@ -648,7 +663,7 @@ object GraphMaterialize {
         .select(col("node"),
           (when(isSeed, lit(150000000L)).otherwise(lit(0L)) +
             expr("(85 * coalesce(insum, 0L)) div 100")).as("score"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     scores
   }
@@ -674,19 +689,27 @@ object GraphMaterialize {
     * rescale multiply caps at raw·1e6 ≤ 1e18 for max_degree < 1e6 —
     * comfortable in a signed long for any degree-capped crawl graph.
     *
-    * Scale shape: edges/nodes built once and localCheckpointed; per
-    * half-step one equi-join + one hash agg over 16-byte rows with
-    * map-side partial sums; the max is a bounded scalar collect (one
-    * long). Scores checkpoint per step so the plan stays O(1) deep
-    * (the multi-branch rule). Eager by contract. */
+    * Scale shape: edges/nodes built once and lazily localCheckpointed
+    * (materialized by the first half-step's max collect, reused
+    * thereafter); per half-step one equi-join + one hash agg over
+    * 16-byte rows with map-side partial sums; the max is a bounded
+    * scalar collect (one long) — and it is the ONLY job a half-step
+    * runs: the raw in-sum frame and the rescaled score frame are lazily
+    * checkpointed, so the max collect materializes both and the next
+    * half-step reads their blocks (optimization r6 — the eager form ran
+    * three jobs per half-step: raw checkpoint, max collect, rescale
+    * checkpoint; 18+ jobs per call at iterations=3). Plans stay O(1)
+    * deep exactly as before — lazy checkpoints truncate lineage at the
+    * same points. Eager in effect: construction still runs the
+    * fixed-point (the per-step max collects). */
   def hitsScores(triples: DataFrame, iterations: Int = 3): DataFrame = {
     val edges = triples
       .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
       .select(col("subj").as("src"), col("objValue").as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
 
     // one rescaled half-step: raw in-sums joined back onto all nodes
     // (score 0 where no edge contributes), scaled to max 1e6
@@ -696,12 +719,12 @@ object GraphMaterialize {
         .join(scores.withColumnRenamed("node", joinSide), Seq(joinSide))
         .groupBy(col(emitSide).as("node"))
         .agg(sum(col(scoreCol)).as("raw"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val mx = math.max(raw.agg(max(col("raw"))).head().getLong(0), 1L)
       nodes.join(raw, Seq("node"), "left")
         .select(col("node"),
           expr(s"(coalesce(raw, 0L) * 1000000) div $mx").as(outCol))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
 
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
@@ -937,9 +960,16 @@ object GraphMaterialize {
   def labelPropagation(triples: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1)
     val und = undirectedEdges(triples)
+    // lazy checkpoint: sym is re-joined every round (multi-branch), but
+    // materializing it needs no standalone job — the caller's one action
+    // computes it once and ReuseExchange serves the later rounds. Label
+    // frames are referenced exactly once each (by the next round), so the
+    // unrolled plan is LINEAR in the fixed round count and needs no
+    // per-round checkpoint at all (optimization r6 — the eager form ran
+    // one job per round).
     val sym = und.select(col("a").as("x"), col("b").as("y"))
       .unionByName(und.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = sym.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
     for (_ <- 1 to rounds) {
@@ -949,7 +979,6 @@ object GraphMaterialize {
         .groupBy(col("x"))
         .agg(min(struct((-col("cnt")).as("nc"), col("community").as("l"))).as("m"))
         .select(col("x").as("node"), col("m.l").as("community"))
-        .localCheckpoint(true)
     }
     labels
   }
@@ -972,10 +1001,15 @@ object GraphMaterialize {
     * never masquerade as the answer. */
   def kCore(triples: DataFrame, k: Int = 2, maxRounds: Int = 20): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
+    // lazy checkpoints fused with the per-round convergence count: the
+    // count() materializes every partition of the round's frame, so each
+    // round costs exactly ONE job (the eager form ran checkpoint + count
+    // = two; optimization r6). Plan depth unchanged — lineage truncates
+    // at the same frames.
     val und = undirectedEdges(triples)
     var alive = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var aliveCount = alive.count()
     var rounds = 0
     while (rounds < maxRounds) {
@@ -986,7 +1020,7 @@ object GraphMaterialize {
       val deg = live.select(col("a").as("node"))
         .unionByName(live.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
-      val next = deg.filter(col("core_deg") >= k).localCheckpoint(true)
+      val next = deg.filter(col("core_deg") >= k).localCheckpoint(false)
       val nextCount = next.count()
       if (nextCount == aliveCount) return next
       alive = next.select(col("node"))

@@ -254,13 +254,17 @@ object GraphQuery {
     * both checkpointed — ONE definition of the guard so the closure and
     * the seeded-distances variants can never silently disagree. */
   private def guardedEdges(pairs: DataFrame, maxDegree: Int): (DataFrame, DataFrame) = {
+    // lazy checkpoints (optimization r6): the first BFS level's count()
+    // materializes `edges`; the first level-2 step materializes
+    // `extendable` — no standalone checkpoint jobs, same lineage
+    // truncation and multi-branch reuse as before.
     val edges = pairs
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val okSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDegree).select(col("src"))
-    (edges, edges.join(okSrc, Seq("src")).localCheckpoint(true))
+    (edges, edges.join(okSrc, Seq("src")).localCheckpoint(false))
   }
 
   /** Bounded `+` closure of an ARBITRARY (src, dst) pair frame — the
@@ -279,11 +283,15 @@ object GraphQuery {
     // is their union (never itself re-checkpointed — Spark 4's
     // LogicalRDD constraint rewrite chokes on checkpoint-of-union-of-
     // checkpoints, and the union of ≤ maxDepth materialized leaves is
-    // already O(1)-deep)
-    var levels = List(edges.withColumn("depth", lit(1)).localCheckpoint(true))
+    // already O(1)-deep). Lazy checkpoints fused with the frontier
+    // emptiness check: count() materializes every partition of the level
+    // (isEmpty would stop at the first row and leave partitions
+    // unmaterialized), so one level = one job (the eager form ran
+    // checkpoint + isEmpty = two; optimization r6).
+    var levels = List(edges.withColumn("depth", lit(1)).localCheckpoint(false))
     var frontier = levels.head
     var d = 1
-    var frontierNonEmpty = !frontier.isEmpty
+    var frontierNonEmpty = frontier.count() > 0
     while (d < maxDepth && frontierNonEmpty) {
       d += 1
       val stepped = frontier.as("f")
@@ -294,10 +302,10 @@ object GraphQuery {
       val fresh = stepped
         .join(seen, Seq("src", "dst"), "left_anti")
         .withColumn("depth", lit(d))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       levels ::= fresh
       frontier = fresh
-      frontierNonEmpty = !fresh.isEmpty
+      frontierNonEmpty = fresh.count() > 0
     }
     levels.reduce(_ unionByName _)
   }
@@ -331,11 +339,13 @@ object GraphQuery {
     import spark.implicits._
     val (edges, extendable) = guardedEdges(predEdges(triples, preds), maxDegree)
 
+    // lazy checkpoint + count() per level, like [[closureOfEdges]]
+    // (optimization r6): one job per BFS level instead of two
     var levels = List(seeds.distinct.toDF("node")
-      .withColumn("dist", lit(0)).localCheckpoint(true))
+      .withColumn("dist", lit(0)).localCheckpoint(false))
     var frontier = levels.head
     var d = 0
-    var frontierNonEmpty = !frontier.isEmpty
+    var frontierNonEmpty = frontier.count() > 0
     while (d < maxDepth && frontierNonEmpty) {
       d += 1
       // first hop out of a seed may leave a hub; later hops may not
@@ -347,10 +357,10 @@ object GraphQuery {
       val fresh = stepped
         .join(seen, Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       levels ::= fresh
       frontier = fresh
-      frontierNonEmpty = !fresh.isEmpty
+      frontierNonEmpty = fresh.count() > 0
     }
     levels.reduce(_ unionByName _)
   }

@@ -36,7 +36,10 @@ object GraphTrain {
       .distinct()
       .repartitionByRange(partitions, col("entity"))
       .select(col("entity"), spark_partition_id().as("pid"))
-      .localCheckpoint(true) // pins the range assignment; read twice below
+      // pins the range assignment; read twice below. Lazy: the bounded
+      // per-partition-count collect right after materializes the blocks
+      // (one job, not two — optimization r6)
+      .localCheckpoint(false)
     val counts = ents.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("pid")).collect() // bounded: `partitions` rows
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), r) =>
@@ -101,7 +104,12 @@ object GraphTrain {
           col("w") * lit(2654435761L) + lit(t.toLong * 40503L) +
             length(col("node")) * 97L, col("deg")))
         .select(col("start"), col("w"), col("dst").as("node"))
-        .localCheckpoint(true) // O(1)-deep plan per level, like pathClosure
+        // O(1)-deep plan per level, like pathClosure; lazy (optimization
+        // r6) — the walk is a FIXED small step count with no per-level
+        // convergence action, so the caller's one action materializes
+        // every level (each level frame serves its two consumers — next
+        // level + the union — from the same blocks)
+        .localCheckpoint(false)
       parts += frontier.withColumn("step", lit(t))
     }
     parts.reduce(_ unionByName _)
@@ -156,20 +164,25 @@ object GraphTrain {
     * constant fan-out (posexplode of a k-array), never data-sized. */
   def negativeSamples(triples: DataFrame, ids: DataFrame, k: Int = 4): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val n = ids.count()
+    // the id table is read three ways (the size count, the subj-id probe,
+    // the neg_id resolve) — lazily checkpoint it so the count below
+    // materializes the blocks once instead of each consumer re-running
+    // the caller's id-assignment plan (optimization r6)
+    val idsCk = ids.localCheckpoint(false)
+    val n = idsCk.count()
     require(n > 0, "empty entity id table")
     val edges = triples.filter(col("objKind").isin(0, 1))
       .select(col("subj"), col("pred"), col("objValue"))
       .distinct()
       .localCheckpoint(true) // read by the candidate build AND the anti-join
     val cand = edges
-      .join(ids.select(col("entity").as("subj"), col("id").as("sid")), Seq("subj"))
+      .join(idsCk.select(col("entity").as("subj"), col("id").as("sid")), Seq("subj"))
       .withColumn("i", explode(array((0 until k).map(lit): _*)))
       .withColumn("neg_id",
         pmod(col("sid") + (col("i") + 1) * lit(2654435761L) +
           length(col("pred")) * 97L, lit(n)))
     cand
-      .join(ids.select(col("id").as("neg_id"), col("entity").as("neg_obj")),
+      .join(idsCk.select(col("id").as("neg_id"), col("entity").as("neg_obj")),
         Seq("neg_id"))
       .join(edges.withColumnRenamed("objValue", "neg_obj"),
         Seq("subj", "pred", "neg_obj"), "left_anti")
