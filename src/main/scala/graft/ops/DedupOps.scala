@@ -201,6 +201,15 @@ object DedupOps {
     // hot-side join to an empty relation without scanning `rows`.
     val hotKeys = hotBucketKeys(rows, maxBucket, distinctDocs = false).localCheckpoint(true)
     val coldPairs = selfPairs(rows.join(hotKeys, Seq("band", "bucket"), "left_anti"))
+    // cold-corpus early exit (optimization r6): hotKeys is already
+    // materialized, so emptiness is a bounded read of its cached blocks.
+    // With ZERO hot buckets every hot/family branch below is provably
+    // empty (each is a join against hotKeys) and the anti-join passes
+    // every row — the cold self-join IS the full answer. Skipping the
+    // branches saves the famRows materialization job and four empty plan
+    // branches per call on the common path, at any scale; hot corpora
+    // take the unchanged guarded plan.
+    if (hotKeys.isEmpty) return coldPairs
     val hotRows = rows.join(hotKeys, Seq("band", "bucket"))
     val fams = minRep(hotRows, Seq("band", "bucket", "fam"))
     val famStars = starsThrough(hotRows, fams, Seq("band", "bucket", "fam"))
