@@ -37,6 +37,10 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "a typo here would silently leave a stale plan file in place")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => subset.isEmpty || subset(n))
     names.foreach { name =>

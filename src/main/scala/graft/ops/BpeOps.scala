@@ -77,22 +77,24 @@ object BpeOps {
     * order, same leftmost non-overlapping application). Vocabularies over
     * the bound take [[trainMergesDistributed]] — the identical algorithm
     * with the vocabulary kept distributed. */
-  def trainMerges(documents: DataFrame, numMerges: Int): DataFrame = {
+  def trainMerges(documents: DataFrame, numMerges: Int,
+      maxDriverVocab: Long = MaxDriverVocab): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = documents.sparkSession
     import spark.implicits._
     val wf = documents
       .select(explode(CurationOps.wsTokens(lower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      // lazy: the count below materializes the blocks; collect re-reads them
+      // lazy: the count below materializes the blocks; the collect (or
+      // the fallback's merge loop) re-reads them — ONE wordcount either
+      // way. Checkpoint blocks are reclaimed by the ContextCleaner once
+      // the frame is unreferenced (Dataset.unpersist would be a no-op on
+      // RDD-level checkpoint storage).
       .localCheckpoint(false)
     val nVocab = wf.count()
-    if (nVocab > MaxDriverVocab) {
-      wf.unpersist()
-      return trainMergesDistributed(documents, numMerges)
-    }
+    if (nVocab > maxDriverVocab)
+      return trainMergesDistributed(wf, numMerges)
     val rows = wf.collect().map(r => (r.getString(0), r.getLong(1)))
-    wf.unpersist()
     val merges = trainMergesInMemory(rows, numMerges)
     merges.toSeq.toDF("rank", "w1", "w2", "pair_n")
       .select(col("rank"), col("w1"), col("w2"),
@@ -199,13 +201,13 @@ object BpeOps {
   /** The round-5 distributed per-merge loop, kept as the over-bound
     * fallback: one pair-count job + 1-row TakeOrdered collect + vocabulary
     * rewrite per merge, vocabulary re-checkpointed per iteration so the
-    * plan stays flat. Identical semantics to the driver loop (BpeSpec). */
-  private def trainMergesDistributed(documents: DataFrame, numMerges: Int): DataFrame = {
-    val spark = documents.sparkSession
+    * plan stays flat. Takes the already-materialized word-frequency frame
+    * (never re-runs the corpus wordcount). Identical semantics to the
+    * driver loop — BpeSpec's fallback case forces this path via the
+    * injectable bound and asserts row equality with the driver result. */
+  private def trainMergesDistributed(wf: DataFrame, numMerges: Int): DataFrame = {
+    val spark = wf.sparkSession
     import spark.implicits._
-    val wf = documents
-      .select(explode(CurationOps.wsTokens(lower(col("text")))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var vocab = wf
       .select(col("freq"), regexp_replace(col("word"), "(.)", " $1 ").as("sym"))
       .localCheckpoint(true)

@@ -984,6 +984,15 @@ object CurationOps {
       .select(explode(col("w")).as("tok"))
       .select(lineKey(col("tok")): _*)
       .groupBy("h1", "h2").agg(count(lit(1)).as(as))
+    // loud up-front validation (ADVICE r5), BEFORE any dictionary job:
+    // an empty seed class used to surface as lgL's cryptic "domain is
+    // x >= 1" require (or a bare NPE on the null totals row) far from
+    // the actual cause
+    val nPos = positives.count()
+    val nNeg = negatives.count()
+    require(nPos > 0 && nNeg > 0,
+      s"quality classifier seed samples must be non-empty (positives=$nPos, negatives=$nNeg)")
+    val prior1024 = lgL(nPos) - lgL(nNeg)
     val dict = classCnt(positives, "p_f")
       .join(classCnt(negatives, "n_f"), Seq("h1", "h2"), "full_outer")
       .select(col("h1"), col("h2"),
@@ -994,17 +1003,13 @@ object CurationOps {
       .localCheckpoint(false)
     val Array(totP, totN, totV) = {
       val row = dict.agg(sum(col("p_f")), sum(col("n_f")), count(lit(1))).first()
+      // seeds can be non-empty yet tokenless (all-whitespace texts):
+      // the totals aggregate to NULL — refuse with the real cause
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "quality classifier seed samples contain no tokens")
       Array(row.getLong(0), row.getLong(1), row.getLong(2))
     }
     val constBias = lgL(totN + totV) - lgL(totP + totV)
-    val nPos = positives.count()
-    val nNeg = negatives.count()
-    // loud up-front validation (ADVICE r5): an empty seed class used to
-    // surface as lgL's cryptic "domain is x >= 1" require far from the
-    // actual cause
-    require(nPos > 0 && nNeg > 0,
-      s"quality classifier seed samples must be non-empty (positives=$nPos, negatives=$nNeg)")
-    val prior1024 = lgL(nPos) - lgL(nNeg)
     val weights = dict.withColumn("wlg",
       expr(s"${lg1024Sql("p_f + 1")} - ${lg1024Sql("n_f + 1")} + CAST($constBias AS BIGINT)"))
       .select(col("h1"), col("h2"), col("wlg"))

@@ -976,13 +976,19 @@ object GraphMaterialize {
       .localCheckpoint(false)
     var labels = sym.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       labels = sym
         .join(labels.select(col("node").as("y"), col("community")), Seq("y"))
         .groupBy(col("x"), col("community")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("x"))
         .agg(min(struct((-col("cnt")).as("nc"), col("community").as("l"))).as("m"))
         .select(col("x").as("node"), col("m.l").as("community"))
+      // depth bound for NON-default round counts: a lazy checkpoint every
+      // 4th round caps the unrolled join tree at 4 rounds' depth (the
+      // hubScores measurement: optimizer cost on deep unrolled trees is
+      // superlinear), while the default rounds=4 keeps the fully-fused
+      // zero-checkpoint plan that A/B-measured fastest
+      if (r % 4 == 0 && r < rounds) labels = labels.localCheckpoint(false)
     }
     labels
   }

@@ -87,6 +87,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", "b", "ab", 1L)))
   }
 
+  test("distributed fallback (vocab over the driver bound) matches the driver loop") {
+    // maxDriverVocab = 0 forces every vocabulary over the bound, so this
+    // exercises the distributed per-merge loop the production path takes
+    // past 2^25 words — without it the fallback would be dead code under
+    // test and a future divergence would ship undetected
+    import spark.implicits._
+    val texts = Seq(
+      "low lower newest widest low low",
+      "the newest of the new lowered the bar",
+      "wide wider widest widest newest",
+      "lower low lowest the the the")
+    val docs = texts.toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    val driver = rows(BpeOps.trainMerges(docs, 10))
+    val fallback = rows(BpeOps.trainMerges(docs, 10, maxDriverVocab = 0L))
+    assert(fallback == driver)
+    assert(driver == refMerges(texts, 10))
+  }
+
   /** Sequential leftmost non-overlapping application of `merges` in rank
     * order to one word's symbol sequence; returns the piece count. */
   private def refApply(word: String, merges: Seq[(String, String)]): Long = {

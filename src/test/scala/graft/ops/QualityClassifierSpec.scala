@@ -2,6 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.SparkTestBase
+import org.apache.spark.sql.functions.col
 import scala.collection.mutable
 
 /** Naive Bayes quality classifier vs a sequential reference: the
@@ -124,5 +125,28 @@ class QualityClassifierSpec extends AnyFunSuite {
     val want = refPareto(Seq((1L, 7L), (2L, 7L), (3L, 7L)), 1)
       .map(r => r._1 -> r._4).toMap
     assert(got == want)
+  }
+
+  test("empty or tokenless inputs fail loudly with the actual cause (ADVICE r5)") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text"), (2L, "more text")).toDF("doc_id", "text")
+    val empty = docs.filter(col("doc_id") < 0)
+    // empty seed class: the require fires BEFORE any dictionary job
+    val e1 = intercept[IllegalArgumentException] {
+      CurationOps.qualityClassifier(docs, empty, docs)
+    }
+    assert(e1.getMessage.contains("seed samples must be non-empty"))
+    // non-empty but tokenless seeds: the totals guard names the cause
+    val blank = Seq((9L, "   ")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      CurationOps.qualityClassifier(docs, blank, blank)
+    }
+    assert(e2.getMessage.contains("no tokens"))
+    // paretoSelect on an empty scored frame: loud, not an NPE
+    val e3 = intercept[IllegalArgumentException] {
+      CurationOps.paretoSelect(
+        Seq((1L, 7L)).toDF("doc_id", "score").filter(col("score") < 0))
+    }
+    assert(e3.getMessage.contains("non-empty scored frame"))
   }
 }

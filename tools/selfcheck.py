@@ -38,6 +38,7 @@ def main():
         if not os.path.isdir(spark_dir):
             results[name] = {"status": "MISSING_SPARK_OUTPUT"}
             n_fail += 1
+            print(f"{results[name]['status']:18s} {name}", flush=True)
             continue
         try:
             got = con.execute(
@@ -53,6 +54,7 @@ def main():
                     "oracle_cols": w_cols,
                 }
                 n_fail += 1
+                print(f"{results[name]['status']:18s} {name}", flush=True)
                 continue
             if got.num_rows != want.num_rows:
                 results[name] = {
@@ -61,6 +63,7 @@ def main():
                     "oracle_rows": want.num_rows,
                 }
                 n_fail += 1
+                print(f"{results[name]['status']:18s} {name}", flush=True)
                 continue
             # order-insensitive content compare: register both, EXCEPT ALL
             # in both directions over name-sorted columns

@@ -29,13 +29,21 @@ def main():
     sessions = [load_line(p) for p in session_paths]
     names = sorted(refq)
     best = {}
+    missing = []
     for n in names:
         vals = [s["queries"].get(n) for s in sessions if s["queries"].get(n) is not None]
         if vals:
             best[n] = min(vals)
+        else:
+            missing.append(n)
     kg_best = min(s["kg"]["seconds"] for s in sessions)
     totals = [s["value"] for s in sessions]
     print(f"ref total {ref['value']:.1f} (kg {ref['kg']['seconds']:.2f})")
+    if missing:
+        # a query with no successful pass in ANY session is the worst
+        # possible regression — shout, never silently shrink the sum
+        print(f"!! {len(missing)} ref queries have NO successful pass in any "
+              f"session (treat as regressions): {', '.join(missing)}")
     print(f"session totals: {[round(t,1) for t in totals]}; best-of kg {kg_best:.2f}")
     print(f"sum of cross-session per-query minima: {sum(best.values()):.1f} + kg {kg_best:.2f} = {sum(best.values())+kg_best:.1f}")
     rows = [(n, refq[n], best.get(n)) for n in names if best.get(n) is not None]
