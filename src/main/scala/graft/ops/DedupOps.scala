@@ -349,9 +349,16 @@ object DedupOps {
     * is the prefix join itself, never the corpus re-shingle. The input
     * must be cheap to re-scan (a parquet read or a checkpointed frame):
     * it feeds the prefix build and both verify sides. */
-  def prefixSimJoinFromSets(sets: DataFrame, tn: Int = 1, td: Int = 2): DataFrame = {
+  def prefixSimJoinFromSets(sets0: DataFrame, tn: Int = 1, td: Int = 2): DataFrame = {
     require(tn >= 1 && td >= tn, s"threshold tn/td in (0,1]: $tn/$td")
     import org.apache.spark.sql.expressions.Window
+    // the set-array scan feeds THREE per-row-heavy branches (prefix
+    // explode + both verify sides); a compact persisted artifact would
+    // otherwise run each fused scan→explode stage on its split count —
+    // one core, measured 0.5–0.9 s/branch at bench scale
+    // (SimJoinStageProbe) — while the spread is a no-op on the
+    // production multi-file shape
+    val sets = Spread.minParallel(sets0, "doc_id")
     val dt = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("m"),
       explode(col("shingles")).as("sh"))
     val dfq = dt.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -425,10 +432,13 @@ object DedupOps {
 
   /** [[containmentJoin]] over an already-materialized (doc_id, shingles)
     * frame — same production contract as [[prefixSimJoinFromSets]]. */
-  def containmentJoinFromSets(sets: DataFrame, tn: Int = 4, td: Int = 5,
+  def containmentJoinFromSets(sets0: DataFrame, tn: Int = 4, td: Int = 5,
       maxDf: Long = 64L): DataFrame = {
     require(tn >= 1 && td >= tn, s"threshold tn/td in (0,1]: $tn/$td")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    // same scan-parallelism floor as [[prefixSimJoinFromSets]]: postings
+    // explode + both verify sides all re-scan the compact artifact
+    val sets = Spread.minParallel(sets0, "doc_id")
     val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // df == 1 shingles can nominate no pair; dropping them here only
     // shrinks the postings shuffle, never the candidate set

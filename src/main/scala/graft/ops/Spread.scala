@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Scan-parallelism floor for per-row-CPU-heavy operator inputs
+  * (optimization guide §2: derive partitioning from the input and the
+  * session, never a constant tuned for one deployment).
+  *
+  * A parquet scan's map-side parallelism equals its split count, and a
+  * compact input — one or few files under `maxPartitionBytes`, the shape
+  * of this repo's sf tables and build-once aux artifacts — runs the
+  * whole fused scan→tokenize/explode/hash stage on ONE core no matter
+  * how many the session has (measured: the 5000-row single-file
+  * `shingle_sets` scan+explode+agg stage ran 1 task for 0.5–0.9 s while
+  * 31 cores idled, SimJoinStageProbe). Operators whose first phase does
+  * heavy per-row compute call [[minParallel]] on their input: when the
+  * scan already carries at least the session's configured shuffle
+  * parallelism — the production multi-file shape at corpus scale — it
+  * is a NO-OP and adds no exchange; only a narrow input pays one small
+  * hash exchange on `key` to unlock every core. The target comes from
+  * `spark.sql.shuffle.partitions` (session-parameterised: local[cpus]
+  * here, cluster-set in production), and the EXPLICIT partition number
+  * keeps AQE from byte-coalescing the spread back down — these rows are
+  * small; it is the per-row work downstream that needs the cores.
+  */
+object Spread {
+  def minParallel(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    // getNumPartitions compiles the physical plan but runs no job; the
+    // callers pass raw reads (or already-materialized frames), so this
+    // is a cheap planner query, not data work
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
+}
