@@ -356,7 +356,7 @@ object DedupOps {
     // explode + both verify sides); a compact persisted artifact would
     // otherwise run each fused scan→explode stage on its split count —
     // one core, measured 0.5–0.9 s/branch at bench scale
-    // (SimJoinStageProbe) — while the spread is a no-op on the
+    // (QueryStageProbe) — while the spread is a no-op on the
     // production multi-file shape
     val sets = Spread.minParallel(sets0, "doc_id")
     val dt = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("m"),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.col
   * whole fused scan→tokenize/explode/hash stage on ONE core no matter
   * how many the session has (measured: the 5000-row single-file
   * `shingle_sets` scan+explode+agg stage ran 1 task for 0.5–0.9 s while
-  * 31 cores idled, SimJoinStageProbe). Operators whose first phase does
+  * 31 cores idled, QueryStageProbe). Operators whose first phase does
   * heavy per-row compute call [[minParallel]] on their input: when the
   * scan already carries at least the session's configured shuffle
   * parallelism — the production multi-file shape at corpus scale — it
@@ -25,12 +25,21 @@ import org.apache.spark.sql.functions.col
   * small; it is the per-row work downstream that needs the cores.
   */
 object Spread {
+  /** CONTRACT: pass a raw file read or an already-materialized
+    * (checkpointed) frame. The partition probe below goes through
+    * `df.rdd`, and on a frame with UNMATERIALIZED upstream exchanges AQE
+    * materializes those query stages right here — the caller would then
+    * re-execute them at action time. A bare file scan has no exchanges
+    * (the probe is job-free there), and a many-file input short-circuits
+    * on file metadata alone. */
   def minParallel(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    // getNumPartitions compiles the physical plan but runs no job; the
-    // callers pass raw reads (or already-materialized frames), so this
-    // is a cheap planner query, not data work
-    if (df.rdd.getNumPartitions >= target) df
+    // a file-backed input with >= target files is parallel enough by
+    // construction — decided from metadata, no plan compilation at all
+    // (and crucially no repartition: at corpus scale the input is large
+    // and an exchange here would shuffle all of it for nothing)
+    if (df.inputFiles.length >= target) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, col(key))
   }
 }

@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
 /** Scratch probe (test scope, not shipped): per-stage/job breakdown for
   * arbitrary SparkEntry bench queries — task counts expose parallelism
   * collapse (few-task stages doing heavy compute), per-stage run time
-  * vs wall exposes scheduling/planning gaps.
+  * vs wall exposes scheduling/planning gaps. PROBE_NO_COALESCE=1 turns
+  * off AQE partition coalescing to separate "AQE collapsed it" from
+  * "the scan had one split" (the batch-4 diagnosis).
   * Usage: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.ops.QueryStageProbe /root/testdata/sf0.1 q_pmi_top q_containment"
   */
 object QueryStageProbe {
@@ -15,11 +17,13 @@ object QueryStageProbe {
     val sfDir = args(0)
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val noCoalesce = sys.env.get("PROBE_NO_COALESCE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", (!noCoalesce).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.AuxTables.ensure(spark, sfDir)
